@@ -1,0 +1,191 @@
+"""Typed configuration tree.
+
+Mirrors the reference's three-layer configuration (SURVEY.md §5.6):
+CLI args, per-stage INI (`config_iter_*.ini`, io_mods.cpp:104-652) and the
+escalation-ladder INI (`iters_*.ini`, io_mods.cpp:653-688).  Here the tree
+is plain frozen dataclasses — hashable, so a config can be a static jit
+argument — and the INI importers live in `mods_tpu.io.ini`.
+
+Defaults reproduce the reference's constructor defaults
+(detectors/structures.hpp:127-167, affine.h:91-132,
+descriptors_parameters.hpp:23-37, matching.hpp:97-171).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+
+
+class DetectorType:
+    HESSIAN = "Hessian"
+    DOG = "DoG"
+    HARRIS = "Harris"
+
+
+class DetectionMode:
+    FIXED_TH = "FixedTh"
+    RELATIVE_TH = "RelativeTh"
+    FIXED_REG_NUMBER = "FixedRegNumber"
+    RELATIVE_REG_NUMBER = "RelativeRegNumber"
+    NOT_LESS_THAN_REGIONS = "NotLessThanRegions"
+
+
+@dataclass(frozen=True)
+class PyramidParams:
+    """reference detectors/structures.hpp:127-167."""
+    upscale_input_image: int = 0
+    n_scales: int = 3
+    initial_sigma: float = 1.6
+    threshold: float = 16.0 / 3.0
+    rel_threshold: float = -1.0
+    reg_number: int = -1
+    rel_reg_number: float = -1.0
+    edge_eigen_value_ratio: float = 10.0
+    border: int = 5
+    detector_mode: str = DetectionMode.FIXED_TH
+    detector_type: str = DetectorType.HESSIAN
+
+
+@dataclass(frozen=True)
+class AffineShapeParams:
+    """Baumberg adaptation params (reference affine.h:91-132)."""
+    max_iterations: int = 16
+    convergence_threshold: float = 0.05
+    smm_window_size: int = 19
+    patch_size: int = 41
+    initial_sigma: float = 1.6
+    mr_size: float = 3.0 * math.sqrt(3.0)
+    do_baumberg: bool = True
+
+
+@dataclass(frozen=True)
+class PatchExtractionParams:
+    """reference detectors/structures.hpp:246-258."""
+    patch_size: int = 41
+    mr_size: float = 5.1962
+    fast_extraction: bool = False
+    photo_norm: bool = True
+
+
+@dataclass(frozen=True)
+class DominantOrientationParams:
+    """reference descriptors_parameters.hpp:23-37."""
+    max_angles: int = -1          # -1 = all peaks above threshold
+    threshold: float = 0.8
+    add_up_right: bool = False
+    half_sift_mode: bool = False
+    patch_extraction: PatchExtractionParams = field(
+        default_factory=PatchExtractionParams)
+
+
+@dataclass(frozen=True)
+class SIFTDescriptorParams:
+    """reference matching/siftdesc.h:24-70."""
+    spatial_bins: int = 4
+    orientation_bins: int = 8
+    max_bin_value: float = 0.2
+    root_sift: bool = False
+    half_sift: bool = False
+    magn_less: bool = False
+    do_norm: bool = True
+    patch_extraction: PatchExtractionParams = field(
+        default_factory=PatchExtractionParams)
+
+    @property
+    def dim(self) -> int:
+        ob = self.orientation_bins // 2 if self.half_sift \
+            else self.orientation_bins
+        return self.spatial_bins * self.spatial_bins * ob
+
+
+@dataclass(frozen=True)
+class DetectorParams:
+    """One scale-space detector slot = pyramid + affine shape params."""
+    pyramid: PyramidParams = field(default_factory=PyramidParams)
+    affine: AffineShapeParams = field(default_factory=AffineShapeParams)
+    do_baumberg: bool = True
+
+
+@dataclass(frozen=True)
+class MatchParams:
+    """reference matching.hpp:97-146."""
+    ratio_threshold: float = 0.8       # FGINN ratio (currMatchRatio)
+    distance_threshold: float = 64.0   # absolute threshold path
+    contrad_dist: float = 10.0         # FGINN contradiction distance, px
+    knn: int = 50                      # neighbors scanned (mods.cpp:49)
+    standard_2nd_closest: bool = False
+    duplicate_dist: float = 3.0        # duplicate filter radius (io_mods)
+    duplicate_mode: str = "random"     # random|fginn|distance|bigger_region
+
+
+class RansacErrorType:
+    SAMPSON = "sampson"
+    SYMM_MAX = "symm_max"
+    SYMM_SUM = "symm_sum"
+
+
+@dataclass(frozen=True)
+class RansacParams:
+    """reference matching.hpp:147-171."""
+    use_f: bool = False
+    err_threshold: float = 2.0
+    confidence: float = 0.99
+    max_samples: int = 100000
+    local_optimization: bool = True
+    laf_coef: float = 3.0
+    h_laf_coef: float = 10.0
+    error_type: str = RansacErrorType.SYMM_SUM
+    do_symm_check: bool = False
+    # TPU batching knobs (no reference counterpart): hypotheses per round
+    batch_hypotheses: int = 2048
+    max_rounds: int = 8
+    lo_inner_samples: int = 10
+    lo_sample_size: int = 14
+    lo_iters: int = 4
+
+
+@dataclass(frozen=True)
+class ViewParams:
+    """One synthetic view: (tilt, phi, zoom) — reference
+    ViewSynthParameters (structures.hpp:219-231).  phi in radians;
+    negative tilt in a TiltSet means vertical-tilt mode and is stored
+    here with ``vertical=True`` and positive tilt."""
+    tilt: float = 1.0
+    phi: float = 0.0
+    zoom: float = 1.0
+    init_sigma: float = 0.5
+    do_blur: bool = True
+    vertical: bool = False
+
+
+@dataclass(frozen=True)
+class CapacityParams:
+    """Static capacities for fixed-shape TPU programs (no reference
+    counterpart — the reference grows std::vectors dynamically)."""
+    per_octave: int = 2048     # candidate extrema per octave per view
+    per_view: int = 4096       # detected regions per synthetic view
+    per_image: int = 8192      # regions per image after view concat
+    max_angles: int = 4        # orientation peaks kept per region
+    tentatives: int = 8192     # tentative correspondences
+
+
+@dataclass(frozen=True)
+class IterationParams:
+    """One rung of the escalation ladder: detector -> views -> descriptors
+    with per-descriptor match thresholds (reference iters_*.ini sections,
+    io_mods.cpp:653-688)."""
+    detector: str = "HessianAffine"
+    descriptors: tuple[str, ...] = ("RootSIFT",)
+    tilt_set: tuple[float, ...] = (1.0,)
+    scale_set: tuple[float, ...] = (1.0,)
+    phi_base: float = 360.0
+    init_sigma: float = 0.5
+    do_blur: bool = True
+    fginn_threshold: tuple[float, ...] = (0.8,)
+    distance_threshold: tuple[float, ...] = (0.0,)
+
+
+def replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)

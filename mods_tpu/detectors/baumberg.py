@@ -1,0 +1,139 @@
+"""Vectorized Baumberg affine-shape adaptation.
+
+The reference's `findAffineShape` (detectors/affinedetectors/affine.cpp:
+26-169, SMM method) runs up to 16 iterations per keypoint, each warping a
+19x19 patch and accumulating the second-moment matrix.  Here all keypoints
+iterate together in a masked fori_loop: one batched bilinear gather per
+iteration (K x 19 x 19 samples from the per-octave blur stack), gradient,
+masked SMM reduction, closed-form inverse square root.
+
+Keypoints whose iteration diverges (anisotropy > 6, complex eigenvalues,
+NaN) or fails to converge within max_iterations are invalidated — the
+same acceptance rule as the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mods_tpu.config import AffineShapeParams
+from mods_tpu.ops.image import gauss_mask, patch_gradient
+from mods_tpu.ops.warp import patch_grid
+
+
+def inv_sqrt_2x2(a, b, c):
+    """Closed-form inverse square root of SPD [[a,b],[b,c]], normalized to
+    unit determinant; returns (a', b', c', l1, l2) with l1 >= l2 the
+    unit-det eigenvalue pair (reference invSqrt, helpers.cpp:463-501)."""
+    r = jnp.where(b != 0, (c - a) / (2 * jnp.where(b != 0, b, 1.0)), 1.0)
+    t = jnp.where(
+        b != 0,
+        jnp.where(r >= 0, 1.0 / (r + jnp.sqrt(1 + r * r)),
+                  -1.0 / (-r + jnp.sqrt(1 + r * r))),
+        0.0)
+    cs = jnp.where(b != 0, 1.0 / jnp.sqrt(1 + t * t), 1.0)
+    sn = t * cs
+    x = 1.0 / jnp.sqrt(cs * cs * a - 2 * cs * sn * b + sn * sn * c)
+    z = 1.0 / jnp.sqrt(sn * sn * a + 2 * cs * sn * b + cs * cs * c)
+    d = jnp.sqrt(x * z)
+    x = x / d
+    z = z / d
+    l1 = jnp.maximum(x, z)
+    l2 = jnp.minimum(x, z)
+    na = cs * cs * x + sn * sn * z
+    nb = -cs * sn * x + sn * cs * z
+    nc = sn * sn * x + cs * cs * z
+    return na, nb, nc, l1, l2
+
+
+def eigenvalues_2x2(a, b, c, d):
+    """(l1, l2, real) of a general 2x2 (reference getEigenvalues)."""
+    tr = a + d
+    disc = tr * tr - 4 * (a * d - b * c)
+    real = disc >= 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    return (tr + sq) / 2.0, (tr - sq) / 2.0, real
+
+
+def _sample_patches_level(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
+                          A: jax.Array, window: int) -> jax.Array:
+    """Bilinear-sample (K, W, W) patches from a (L+2, H, W) level stack,
+    each keypoint from its own level.  A is the full sampling matrix."""
+    L2, H, W = blurs.shape
+    g = patch_grid(window)                                   # (P, P, 2)
+    coords = jnp.einsum("kab,ijb->kija", A, g) + xy[:, None, None, :]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    lv = lvl[:, None, None]
+    i00 = blurs[lv, y0i, x0i]
+    i01 = blurs[lv, y0i, x0i + 1]
+    i10 = blurs[lv, y0i + 1, x0i]
+    i11 = blurs[lv, y0i + 1, x0i + 1]
+    top = i00 + wx * (i01 - i00)
+    bot = i10 + wx * (i11 - i10)
+    return top + wy * (bot - top)
+
+
+def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,
+                   s_oct: jax.Array, valid: jax.Array,
+                   p: AffineShapeParams):
+    """Estimate unit-det affine shapes for a batch of keypoints.
+
+    blurs: (L+2, H, W) octave blur stack; ``lvl`` indexes the level the
+    reference samples (the level *below* detection, pyramid.cpp:521 — the
+    callback receives prevBlur).  xy_oct: (K, 2) octave-local coords;
+    s_oct: (K,) octave-local scale.  Returns (A (K,2,2), ok (K,)).
+    """
+    K = lvl.shape[0]
+    W = p.smm_window_size
+    mask = jnp.asarray(gauss_mask(W))            # (W, W)
+    npix = float(W * W)
+    ratio = s_oct / p.initial_sigma              # affine.cpp:33
+
+    def body(it, state):
+        u, act, bef, done, conv = state
+        A = u * ratio[:, None, None]
+        patch = _sample_patches_level(blurs, lvl, xy_oct, A, W)
+        fx, fy = patch_gradient(patch)
+        a = jnp.sum(fx * fx * mask, axis=(1, 2)) / npix
+        b = jnp.sum(fx * fy * mask, axis=(1, 2)) / npix
+        c = jnp.sum(fy * fy * mask, axis=(1, 2)) / npix
+        na, nb, nc, l1s, l2s = inv_sqrt_2x2(a, b, c)
+        nan_bad = ~(jnp.isfinite(na) & jnp.isfinite(nb) & jnp.isfinite(nc))
+        new_bef = act
+        new_act = 1.0 - l2s / l1s
+        # u <- S @ u
+        nu = jnp.stack([
+            jnp.stack([na * u[:, 0, 0] + nb * u[:, 1, 0],
+                       na * u[:, 0, 1] + nb * u[:, 1, 1]], -1),
+            jnp.stack([nb * u[:, 0, 0] + nc * u[:, 1, 0],
+                       nb * u[:, 0, 1] + nc * u[:, 1, 1]], -1)], -2)
+        e1, e2, real = eigenvalues_2x2(
+            nu[:, 0, 0], nu[:, 0, 1], nu[:, 1, 0], nu[:, 1, 1])
+        aniso_bad = (e1 / e2 > 6.0) | (e2 / e1 > 6.0)
+        fail = nan_bad | ~real | aniso_bad
+        step_ok = ~done & ~fail
+        u = jnp.where(step_ok[:, None, None], nu, u)
+        act = jnp.where(step_ok, new_act, act)
+        bef = jnp.where(step_ok, new_bef, bef)
+        converged_now = step_ok & (new_act < p.convergence_threshold) \
+            & (new_bef < p.convergence_threshold)
+        conv = conv | converged_now
+        done = done | fail | converged_now
+        return (u, act, bef, done, conv)
+
+    u0 = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (K, 2, 2))
+    zeros = jnp.zeros((K,), jnp.float32)
+    state = (u0, zeros, zeros, ~valid, jnp.zeros((K,), bool))
+    u, _, _, _, conv = jax.lax.fori_loop(
+        0, p.max_iterations, body, state)
+    if not p.do_baumberg:
+        return u0, valid
+    return u, valid & conv

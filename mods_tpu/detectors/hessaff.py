@@ -1,0 +1,129 @@
+"""Affine-covariant scale-space detection, assembled.
+
+The TPU equivalent of the reference's `DetectAffineKeypoints`
+(detectors/affinedetectors/scale-space-detector.cpp:43-85) +
+`AffineDetector` callback chain (scale-space-detector.hpp:29-100):
+pyramid → per-octave NMS → vectorized localization → vectorized Baumberg →
+fixed-capacity Regions in image coordinates → detection-mode budget filter
+(prepareKeysForExport, scale-space-detector.hpp:127-198).
+
+Views are processed as a leading batch axis; all per-view work is vmapped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mods_tpu.config import (AffineShapeParams, CapacityParams,
+                             DetectionMode, DetectorType, PyramidParams)
+from mods_tpu.detectors import scale_space as ss
+from mods_tpu.detectors.baumberg import baumberg_adapt
+from mods_tpu.regions import Regions, compact_topk, concat_regions
+
+
+def _thresholds(p: PyramidParams) -> tuple[float, float]:
+    """(positive_threshold, final_threshold) — pyramid.h:47-66.
+    positive is computed from the raw threshold; final is squared for
+    Hessian. Non-FixedTh modes zero both."""
+    pos = 0.8 * p.threshold
+    fin = p.threshold
+    if p.detector_type == DetectorType.HESSIAN:
+        fin = p.threshold * p.threshold
+    if p.detector_mode != DetectionMode.FIXED_TH:
+        return 0.0, 0.0
+    return pos, fin
+
+
+def _detect_one_octave(oct_blurs, oct_resps, valid_hw, p: PyramidParams,
+                       aff: AffineShapeParams, cap: int, pos_th, fin_th,
+                       pixel_distance: float, sigmas):
+    """Detect+adapt for ONE view and ONE octave (vmapped over views).
+
+    oct_blurs/oct_resps: (L+2, H, W); valid_hw: (2,) int32 (h, w) of the
+    un-padded extent at this octave's resolution.  Returns Regions (cap,)
+    in IMAGE coordinates.
+    """
+    L = p.n_scales
+    nms = ss._nms_mask(oct_resps[None], pos_th, -pos_th)[0]   # (L, H, W)
+    lvl, r, c, valid = ss.candidate_indices(
+        nms, p.border, valid_hw[1], valid_hw[0], cap)
+    loc = ss.localize_keypoints(
+        oct_resps, oct_blurs, lvl, r, c, valid, p, fin_th, p.detector_type)
+    ok = loc["ok"]
+    x_oct = loc["c"].astype(jnp.float32) + loc["b"][:, 0]
+    y_oct = loc["r"].astype(jnp.float32) + loc["b"][:, 1]
+    sig = jnp.asarray(sigmas, jnp.float32)[lvl]
+    s_oct = sig * jnp.exp2(loc["b"][:, 2] / L)
+    xy_oct = jnp.stack([x_oct, y_oct], axis=-1)
+    A, ok = baumberg_adapt(oct_blurs, lvl - 1, xy_oct, s_oct, ok, aff)
+    return Regions(
+        xy=xy_oct * pixel_distance,
+        A=A,
+        s=s_oct * pixel_distance,
+        response=loc["val"],
+        sub_type=loc["sub_type"],
+        mask=ok,
+    )
+
+
+def apply_detection_mode(regs: Regions, p: PyramidParams, out_cap: int,
+                         reg_number: jax.Array | None = None) -> Regions:
+    """Budget filter (scale-space-detector.hpp prepareKeysForExport).
+
+    regs: (V, K).  ``reg_number``: traced (V,) int32 — the per-view region
+    budget already scaled by zoom/tilt (scale-space-detector.cpp:50-51);
+    defaults to the static config value.  Output (V, out_cap) ordered by
+    |response| desc (any mode other than FixedTh sorts in the reference;
+    we sort always, which only changes ordering, not membership)."""
+    out = compact_topk(regs, out_cap, by="response")
+    mode = p.detector_mode
+    if mode == DetectionMode.FIXED_TH:
+        return out
+    n = out.count()[..., None].astype(jnp.float32)
+    rank = jnp.broadcast_to(
+        jnp.arange(out.capacity, dtype=jnp.float32), out.mask.shape)
+    absresp = jnp.abs(out.response)
+    if reg_number is None:
+        reg_number = jnp.full(regs.mask.shape[:-1], p.reg_number, jnp.int32)
+    regn = reg_number[..., None].astype(jnp.float32)
+    if mode == DetectionMode.RELATIVE_TH:
+        mx = jnp.max(jnp.where(out.mask, absresp, 0.0), -1, keepdims=True)
+        keep = absresp >= mx * p.rel_threshold
+    elif mode == DetectionMode.FIXED_REG_NUMBER:
+        keep = rank < regn
+    elif mode == DetectionMode.RELATIVE_REG_NUMBER:
+        keep = rank < jnp.floor(p.rel_reg_number * n)
+    elif mode == DetectionMode.NOT_LESS_THAN_REGIONS:
+        n_th = jnp.sum(
+            jnp.where(out.mask, (absresp >= p.threshold).astype(jnp.float32),
+                      0.0), -1, keepdims=True)
+        keep = rank < jnp.maximum(regn, n_th)
+    else:
+        raise ValueError(mode)
+    return out.masked_where(keep)
+
+
+def detect_affine_keypoints(imgs: jax.Array, valid_hw: jax.Array,
+                            p: PyramidParams, aff: AffineShapeParams,
+                            caps: CapacityParams,
+                            reg_number: jax.Array | None = None) -> Regions:
+    """Full detector over a view batch.
+
+    imgs: (V, H, W) float32 canvas batch (0..255); valid_hw: (V, 2) int32
+    actual (h, w) per view.  Returns Regions (V, caps.per_view) in view
+    image coordinates, |response|-ordered.
+    """
+    pos_th, fin_th = _thresholds(p)
+    octaves = ss.build_pyramid(imgs, p)
+    per_oct = []
+    for octv in octaves:
+        pd = octv.pixel_distance
+        vh = (valid_hw.astype(jnp.float32) / pd).astype(jnp.int32)
+        f = jax.vmap(
+            lambda b, r, hw: _detect_one_octave(
+                b, r, hw, p, aff, caps.per_octave, pos_th, fin_th, pd,
+                octv.sigmas))
+        per_oct.append(f(octv.blurs, octv.resps, vh))
+    regs = concat_regions(per_oct)
+    return apply_detection_mode(regs, p, caps.per_view, reg_number)

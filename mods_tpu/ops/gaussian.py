@@ -1,0 +1,66 @@
+"""Separable Gaussian blur as XLA convolutions.
+
+Mirrors the reference's `gaussianBlur` (helpers.cpp): kernel size
+``int(6*sigma+1)`` forced odd, replicate border, sampled-Gaussian taps
+(OpenCV ``getGaussianKernel`` semantics).  XLA fuses the two 1-D convs and
+maps them onto the VPU/MXU; the batch axis carries synthetic views.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def gauss_kernel_1d(sigma: float) -> np.ndarray:
+    """OpenCV-style sampled Gaussian taps, normalized to sum 1."""
+    size = int(2.0 * 3.0 * float(sigma) + 1.0)
+    if size % 2 == 0:
+        size += 1
+    size = max(size, 3)
+    half = size // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * float(sigma) * float(sigma)))
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def _conv1d(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
+    """Convolve (..., H, W) along `axis` (-1 or -2) with replicate border."""
+    half = taps.shape[0] // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (half, half)
+    x = jnp.pad(img, pad, mode="edge")
+    # windowed dot: use conv_general_dilated on a flattened batch
+    lead = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    x4 = x.reshape((-1, 1, h, w))
+    if axis == -1 or axis == img.ndim - 1:
+        rhs = taps.reshape(1, 1, 1, -1)
+    else:
+        rhs = taps.reshape(1, 1, -1, 1)
+    y = jax.lax.conv_general_dilated(
+        x4, rhs, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return y.reshape(lead + y.shape[-2:])
+
+
+def gaussian_blur(img: jax.Array, sigma: float,
+                  sigma_y: float | None = None) -> jax.Array:
+    """Blur (..., H, W) with replicate-border separable Gaussian.
+
+    ``sigma_y`` enables the anisotropic anti-alias blur used by view
+    synthesis (reference synth-detection.cpp:404-414).
+    """
+    if sigma_y is None:
+        sigma_y = sigma
+    kx = jnp.asarray(gauss_kernel_1d(float(sigma)))
+    ky = jnp.asarray(gauss_kernel_1d(float(sigma_y)))
+    out = _conv1d(img, ky, axis=-2)
+    out = _conv1d(out, kx, axis=-1)
+    return out

@@ -1,0 +1,109 @@
+"""Batched affine warping and patch sampling (bilinear gathers).
+
+TPU-native replacement for the reference's per-pixel `interpolate`
+(helpers.cpp:551-608) and `cv::warpAffine` calls in view synthesis
+(synth-detection.cpp:388-430): coordinates for the whole output are
+computed as one broadcasted grid and resolved with a vectorized bilinear
+gather, which XLA lowers to dynamic-gathers that tile well on TPU.
+
+Conventions:
+  * Affine maps are 2x3 row-major ``[a11 a12 tx; a21 a22 ty]`` taking
+    OUTPUT (x, y) to INPUT (x, y) (inverse warp), like cv::warpAffine's
+    WARP_INVERSE_MAP.
+  * Out-of-bounds samples return ``fill`` (the reference uses gray 128
+    for synthesis and 0 for patches).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
+                    fill: float = 0.0) -> jax.Array:
+    """Sample (H, W) image at float coords; any-shape x/y.
+
+    Matches the reference's safe `interpolate` path (helpers.cpp:574-607):
+    a sample is valid iff floor(x) in [0, W-2] and floor(y) in [0, H-2].
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = (x0i >= 0) & (y0i >= 0) & (x0i < w - 1) & (y0i < h - 1)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+
+    def at(yy, xx):
+        return img[..., yy, xx]
+
+    i00 = at(y0c, x0c)
+    i01 = at(y0c, x0c + 1)
+    i10 = at(y0c + 1, x0c)
+    i11 = at(y0c + 1, x0c + 1)
+    top = i00 + wx * (i01 - i00)
+    bot = i10 + wx * (i11 - i10)
+    val = top + wy * (bot - top)
+    return jnp.where(valid, val, fill)
+
+
+def affine_warp(img: jax.Array, inv_map: jax.Array, out_h: int, out_w: int,
+                fill: float = 128.0) -> jax.Array:
+    """Warp (H, W) -> (out_h, out_w) with 2x3 inverse map (output->input)."""
+    ys = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    sx = inv_map[0, 0] * xs + inv_map[0, 1] * ys + inv_map[0, 2]
+    sy = inv_map[1, 0] * xs + inv_map[1, 1] * ys + inv_map[1, 2]
+    return bilinear_sample(img, sx, sy, fill=fill)
+
+
+def patch_grid(patch_size: int) -> jax.Array:
+    """(P, P, 2) grid of patch offsets in [-half, +half], (dx, dy) order.
+
+    The reference samples patches centered on the keypoint with integer
+    offsets -half..half (interpolate helpers.cpp:562-572).
+    """
+    half = patch_size >> 1
+    r = jnp.arange(-half, patch_size - half, dtype=jnp.float32)
+    dx, dy = jnp.meshgrid(r, r, indexing="xy")
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def extract_patches(img: jax.Array, xy: jax.Array, A: jax.Array,
+                    patch_size: int, fill: float = 0.0) -> jax.Array:
+    """Batched affine patch extraction.
+
+    For each keypoint k: patch[j, i] = img(xy + A @ [dx_i, dy_j]) with
+    bilinear sampling — the reference's `interpolate(img, x, y, a11.., res)`
+    applied over a whole keypoint batch at once.
+
+    img: (H, W); xy: (K, 2); A: (K, 2, 2) — the *sampling* matrix, i.e.
+    shape matrix already multiplied by the patch step in image pixels.
+    Returns (K, P, P).
+    """
+    g = patch_grid(patch_size)                       # (P, P, 2)
+    # coords[k, j, i, :] = xy[k] + A[k] @ g[j, i]
+    coords = jnp.einsum("kab,ijb->kija", A, g) + xy[:, None, None, :]
+    return bilinear_sample(img, coords[..., 0], coords[..., 1], fill=fill)
+
+
+def touches_border(img_w, img_h, xy, A, half_extent_x, half_extent_y):
+    """Vectorized `interpolateCheckBorders` (helpers.cpp:524-549): True if
+    the affine-mapped patch corners leave the safe interior.
+
+    half_extent_*: scalar or (K,) — half width/height of the sampled patch
+    in *patch* units before applying A (the reference passes res dims).
+    """
+    hw = jnp.ceil(half_extent_x)
+    hh = jnp.ceil(half_extent_y)
+    cx = jnp.stack([-hw, -hw, hw, hw], axis=-1)
+    cy = jnp.stack([-hh, hh, -hh, hh], axis=-1)
+    ix = xy[..., 0:1] + cx * A[..., 0, 0:1] + cy * A[..., 0, 1:2]
+    iy = xy[..., 1:2] + cx * A[..., 1, 0:1] + cy * A[..., 1, 1:2]
+    bad = ((jnp.floor(ix) <= 0) | (jnp.floor(iy) <= 0)
+           | (jnp.ceil(ix) >= img_w - 2) | (jnp.ceil(iy) >= img_h - 2))
+    return jnp.any(bad, axis=-1)

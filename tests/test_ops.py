@@ -1,0 +1,128 @@
+"""Unit tests for core image ops against straightforward numpy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mods_tpu.ops.gaussian import gauss_kernel_1d, gaussian_blur
+from mods_tpu.ops.image import (circular_gauss_mask, gauss_mask, gradient,
+                                half_image, patch_gradient, to_gray)
+from mods_tpu.ops.warp import (affine_warp, bilinear_sample, extract_patches,
+                               touches_border)
+
+
+def np_blur_1d(img, taps, axis):
+    half = len(taps) // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (half, half)
+    x = np.pad(img, pad, mode="edge")
+    out = np.zeros_like(img)
+    for i, t in enumerate(taps):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + img.shape[axis])
+        out += t * x[tuple(sl)]
+    return out
+
+
+def test_gauss_kernel_props():
+    k = gauss_kernel_1d(1.6)
+    assert k.shape[0] % 2 == 1
+    assert abs(k.sum() - 1.0) < 1e-6
+    assert k.shape[0] == int(6 * 1.6 + 1) + (1 - int(6 * 1.6 + 1) % 2)
+
+
+def test_gaussian_blur_matches_numpy(rng):
+    img = rng.uniform(0, 255, (20, 31)).astype(np.float32)
+    sigma = 1.3
+    got = np.asarray(gaussian_blur(jnp.asarray(img), sigma))
+    taps = gauss_kernel_1d(sigma)
+    want = np_blur_1d(np_blur_1d(img, taps, 0), taps, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_gaussian_blur_constant_invariant():
+    img = jnp.full((16, 16), 77.0)
+    out = gaussian_blur(img, 2.0)
+    np.testing.assert_allclose(np.asarray(out), 77.0, rtol=1e-5)
+
+
+def test_half_image():
+    img = jnp.arange(16, dtype=jnp.float32).reshape(4, 4)
+    out = np.asarray(half_image(img))
+    want = np.array([[2.5, 4.5], [10.5, 12.5]], np.float32)
+    np.testing.assert_allclose(out, want)
+
+
+def test_gradient_central():
+    img = jnp.asarray(np.arange(25, dtype=np.float32).reshape(5, 5))
+    gx, gy = gradient(img)
+    # interior: x-gradient of ramp with slope 1 -> central diff = 2
+    np.testing.assert_allclose(np.asarray(gx)[1:-1, 1:-1], 2.0)
+    np.testing.assert_allclose(np.asarray(gy)[1:-1, 1:-1], 10.0)
+    assert np.asarray(gx)[0].sum() == 0  # zero border
+
+
+def test_patch_gradient_onesided():
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4))
+    gx, gy = patch_gradient(img)
+    np.testing.assert_allclose(np.asarray(gx)[:, 0], 1.0)
+    np.testing.assert_allclose(np.asarray(gx)[:, 1], 2.0)
+    np.testing.assert_allclose(np.asarray(gy)[0, :], 4.0)
+
+
+def test_bilinear_sample_identity_and_interp():
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    x = jnp.asarray([1.0, 1.5])
+    y = jnp.asarray([1.0, 0.5])
+    out = np.asarray(bilinear_sample(img, x, y))
+    assert out[0] == 5.0
+    assert out[1] == (1.0 + 2.0 + 5.0 + 6.0) / 4.0
+
+
+def test_bilinear_sample_oob_fill():
+    img = jnp.ones((4, 4))
+    out = np.asarray(bilinear_sample(img, jnp.asarray([-1.0, 3.5]),
+                                     jnp.asarray([0.0, 0.0]), fill=7.0))
+    np.testing.assert_allclose(out, [7.0, 7.0])
+
+
+def test_affine_warp_identity():
+    img = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 255, (8, 9)).astype(np.float32))
+    m = jnp.asarray([[1.0, 0, 0], [0, 1, 0]])
+    out = np.asarray(affine_warp(img, m, 8, 9, fill=0.0))
+    np.testing.assert_allclose(out[:-1, :-1], np.asarray(img)[:-1, :-1])
+
+
+def test_extract_patches_translation():
+    img = jnp.asarray(np.arange(100, dtype=np.float32).reshape(10, 10))
+    xy = jnp.asarray([[5.0, 5.0]])
+    A = jnp.asarray([[[1.0, 0.0], [0.0, 1.0]]])
+    p = np.asarray(extract_patches(img, xy, A, 5))
+    want = np.asarray(img)[3:8, 3:8]
+    np.testing.assert_allclose(p[0], want)
+
+
+def test_touches_border():
+    xy = jnp.asarray([[20.0, 20.0], [2.0, 2.0]])
+    A = jnp.broadcast_to(jnp.eye(2), (2, 2, 2))
+    bad = np.asarray(touches_border(40, 40, xy, A, 5.0, 5.0))
+    assert not bad[0]
+    assert bad[1]
+
+
+def test_to_gray_mean():
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[..., 0] = 30
+    img[..., 1] = 60
+    img[..., 2] = 90
+    np.testing.assert_allclose(np.asarray(to_gray(jnp.asarray(img))), 60.0)
+
+
+def test_masks():
+    m = circular_gauss_mask(41, 41 / 3.0)
+    assert m.shape == (41, 41)
+    assert m[20, 20] == 1.0
+    assert m[0, 0] == 0.0  # outside circle
+    g = gauss_mask(19)
+    assert g[9, 9] == 1.0
+    assert g[0, 0] > 0
