@@ -50,7 +50,9 @@ def inv_sqrt_2x2(a, b, c):
 def eigenvalues_2x2(a, b, c, d):
     """(l1, l2, real) of a general 2x2 (reference getEigenvalues)."""
     tr = a + d
-    disc = tr * tr - 4 * (a * d - b * c)
+    # algebraically tr^2 - 4 det, written in the cancellation-free form so
+    # equal eigenvalues don't go complex from fp roundoff
+    disc = (a - d) * (a - d) + 4.0 * b * c
     real = disc >= 0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     return (tr + sq) / 2.0, (tr - sq) / 2.0, real
