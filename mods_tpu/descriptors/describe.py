@@ -1,0 +1,92 @@
+"""Anti-aliased descriptor patch extraction, batched and static-shape.
+
+Reference: `DescribeRegions` (synth-detection.hpp:169-255).  Per region the
+reference samples a native-resolution patch of dynamic size
+patchImageSize = 2*ceil(s*mrSize)+1, blurs it with sigma
+1.5*imageToPatchScale and subsamples to patchSize (the AA path taken
+whenever imageToPatchScale > 0.4).
+
+Dynamic patch sizes don't exist on TPU, so the same math is re-expressed
+with a fixed 2x-oversampled grid: sample a (2P+1)^2 patch with step
+t*P/(2P+1) <= 1 image px, blur with the *constant* sigma
+1.5 * (2P+1)/P patch px (== 1.5*t image px), and resample the P^2 patch
+at the constant stride (2P+1)/P.  This is algebraically the reference
+pipeline for t <= (2P+1)/P (≈2), which covers every scale the default
+configs produce; larger regions are slightly aliased (TODO: mip levels).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mods_tpu.ops.gaussian import gauss_kernel_1d
+from mods_tpu.ops.image import circular_gauss_mask
+from mods_tpu.ops.warp import bilinear_sample, extract_patches, patch_grid
+
+
+def image_to_patch_scale(s: jax.Array, mr_size: float,
+                         patch_size: int) -> jax.Array:
+    """t = (2*ceil(s*mrSize)+1) / patchSize (synth-detection.hpp:187-189)."""
+    return (2.0 * jnp.ceil(s * mr_size) + 1.0) / patch_size
+
+
+def blur_patches(patches: jax.Array, sigma: float) -> jax.Array:
+    """(K, P, P) separable blur with replicate borders."""
+    taps = gauss_kernel_1d(float(sigma))
+    half = len(taps) // 2
+
+    def conv_axis(x, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (half, half)
+        xp = jnp.pad(x, pad, mode="edge")
+        out = jnp.zeros_like(x)
+        for i, t in enumerate(taps):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(i, i + x.shape[axis])
+            out = out + float(t) * xp[tuple(sl)]
+        return out
+
+    return conv_axis(conv_axis(patches, 1), 2)
+
+
+def extract_descriptor_patches(img: jax.Array, xy: jax.Array, A: jax.Array,
+                               s: jax.Array, mr_size: float,
+                               patch_size: int,
+                               photo_norm: bool = False) -> jax.Array:
+    """(K,) regions on (H, W) view image -> (K, P, P) float patches."""
+    P = patch_size
+    SP = 2 * P + 1
+    t = image_to_patch_scale(s, mr_size, P)          # (K,)
+
+    # AA path: oversampled native patch -> fixed blur -> fixed resample
+    step = (t * P / SP)[:, None, None]
+    over = extract_patches(img, xy, A * step, SP)    # (K, SP, SP)
+    over = blur_patches(over, 1.5 * SP / P)
+    g = patch_grid(P) * (SP / P) + (SP >> 1)         # fixed coords in over
+    aa = jax.vmap(lambda o: bilinear_sample(o, g[..., 0], g[..., 1]))(over)
+
+    # direct path for heavy oversampling (t <= 0.4)
+    direct = extract_patches(img, xy, A * t[:, None, None], P)
+    patches = jnp.where((t > 0.4)[:, None, None], aa, direct)
+
+    if photo_norm:
+        patches = photometric_normalize(patches)
+    return patches
+
+
+def photometric_normalize(patches: jax.Array) -> jax.Array:
+    """reference photometricallyNormalize (helpers.cpp:712-760): shift to
+    mean 128, scale to std 50, clip 0..255, masked by the circular
+    Gaussian support."""
+    P = patches.shape[-1]
+    mask = jnp.asarray(circular_gauss_mask(P)) > 0
+    n = jnp.sum(mask)
+    mean = jnp.sum(jnp.where(mask[None], patches, 0.0),
+                   axis=(1, 2), keepdims=True) / n
+    var = jnp.sum(jnp.where(mask[None], (patches - mean) ** 2, 0.0),
+                  axis=(1, 2), keepdims=True) / n
+    std = jnp.sqrt(var)
+    out = 128.0 + (50.0 / jnp.maximum(std, 1e-4)) * (patches - mean)
+    out = jnp.clip(out, 0.0, 255.0)
+    return jnp.where(std < 1e-4, patches, out)
