@@ -164,9 +164,9 @@ class ViewParams:
 class CapacityParams:
     """Static capacities for fixed-shape TPU programs (no reference
     counterpart — the reference grows std::vectors dynamically)."""
-    per_octave: int = 2048     # candidate extrema per octave per view
+    per_octave: int = 8192     # candidate extrema per octave per view
     per_view: int = 4096       # detected regions per synthetic view
-    per_image: int = 8192      # regions per image after view concat
+    per_image: int = 16384     # regions per image after view concat
     max_angles: int = 4        # orientation peaks kept per region
     tentatives: int = 8192     # tentative correspondences
 

@@ -120,9 +120,13 @@ def detect_affine_keypoints(imgs: jax.Array, valid_hw: jax.Array,
     for octv in octaves:
         pd = octv.pixel_distance
         vh = (valid_hw.astype(jnp.float32) / pd).astype(jnp.int32)
+        # candidate capacity scales with octave area: extrema density on
+        # real images is well under 1 per 32 px
+        oh, ow = octv.blurs.shape[-2:]
+        cap = min(caps.per_octave, max(256, (oh * ow) // 32))
         f = jax.vmap(
             lambda b, r, hw: _detect_one_octave(
-                b, r, hw, p, aff, caps.per_octave, pos_th, fin_th, pd,
+                b, r, hw, p, aff, cap, pos_th, fin_th, pd,
                 octv.sigmas))
         per_oct.append(f(octv.blurs, octv.resps, vh))
     regs = concat_regions(per_oct)

@@ -14,8 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # sitecustomize may have imported jax already with JAX_PLATFORMS=axon;
-# override before the first backend initialization.
-jax.config.update("jax_platforms", "cpu")
+# override before the first backend initialization.  Set
+# MODS_TEST_PLATFORM=axon to run the suite on the real TPU chip.
+jax.config.update("jax_platforms",
+                  os.environ.get("MODS_TEST_PLATFORM", "cpu"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
