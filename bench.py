@@ -34,6 +34,8 @@ def textured(h, w, seed):
 
 def main():
     import jax
+    from mods_tpu.runtime import setup_cache
+    setup_cache()
     import jax.numpy as jnp
     from mods_tpu.config import CapacityParams, RansacParams
     from mods_tpu.models.flagship import two_view_step

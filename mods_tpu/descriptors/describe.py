@@ -32,22 +32,16 @@ def image_to_patch_scale(s: jax.Array, mr_size: float,
 
 
 def blur_patches(patches: jax.Array, sigma: float) -> jax.Array:
-    """(K, P, P) separable blur with replicate borders."""
-    taps = gauss_kernel_1d(float(sigma))
-    half = len(taps) // 2
-
-    def conv_axis(x, axis):
-        pad = [(0, 0)] * 3
-        pad[axis] = (half, half)
-        xp = jnp.pad(x, pad, mode="edge")
-        out = jnp.zeros_like(x)
-        for i, t in enumerate(taps):
-            sl = [slice(None)] * 3
-            sl[axis] = slice(i, i + x.shape[axis])
-            out = out + float(t) * xp[tuple(sl)]
-        return out
-
-    return conv_axis(conv_axis(patches, 1), 2)
+    """(K, P, P) separable blur with replicate borders, as two batched
+    banded matmuls (MXU path; see ops/gaussian.blur_band_matrix)."""
+    from mods_tpu.ops.gaussian import blur_band_matrix
+    P = patches.shape[-1]
+    M = jnp.asarray(blur_band_matrix(P, float(sigma)))
+    out = jnp.einsum("ij,kjc->kic", M, patches,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("kic,jc->kij", out, M,
+                     preferred_element_type=jnp.float32)
+    return out
 
 
 def extract_descriptor_patches(img: jax.Array, xy: jax.Array, A: jax.Array,

@@ -62,7 +62,7 @@ def _sample_patches_level(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
                           A: jax.Array, window: int) -> jax.Array:
     """Bilinear-sample (K, W, W) patches from a (L+2, H, W) level stack,
     each keypoint from its own level.  A is the full sampling matrix."""
-    L2, H, W = blurs.shape
+    from mods_tpu.ops.warp import _bilinear_combine, gather_2x2_level
     g = patch_grid(window)                                   # (P, P, 2)
     coords = jnp.einsum("kab,ijb->kija", A, g) + xy[:, None, None, :]
     x = coords[..., 0]
@@ -71,16 +71,9 @@ def _sample_patches_level(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    lv = lvl[:, None, None]
-    i00 = blurs[lv, y0i, x0i]
-    i01 = blurs[lv, y0i, x0i + 1]
-    i10 = blurs[lv, y0i + 1, x0i]
-    i11 = blurs[lv, y0i + 1, x0i + 1]
-    top = i00 + wx * (i01 - i00)
-    bot = i10 + wx * (i11 - i10)
-    return top + wy * (bot - top)
+    block = gather_2x2_level(blurs, lvl[:, None, None],
+                             y0.astype(jnp.int32), x0.astype(jnp.int32))
+    return _bilinear_combine(block, wx, wy)
 
 
 def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,
@@ -133,9 +126,22 @@ def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,
 
     u0 = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (K, 2, 2))
     zeros = jnp.zeros((K,), jnp.float32)
-    state = (u0, zeros, zeros, ~valid, jnp.zeros((K,), bool))
-    u, _, _, _, conv = jax.lax.fori_loop(
-        0, p.max_iterations, body, state)
     if not p.do_baumberg:
         return u0, valid
+
+    # early-exit while_loop: stop as soon as every keypoint converged or
+    # failed (the reference breaks per keypoint; batched we stop when the
+    # whole batch is done — usually well before max_iterations)
+    def cond(state):
+        it = state[0]
+        done = state[1][3]
+        return (it < p.max_iterations) & jnp.any(~done)
+
+    def wbody(state):
+        it, inner = state
+        return (it + 1, body(it, inner))
+
+    state0 = (jnp.int32(0), (u0, zeros, zeros, ~valid,
+                             jnp.zeros((K,), bool)))
+    _, (u, _, _, _, conv) = jax.lax.while_loop(cond, wbody, state0)
     return u, valid & conv

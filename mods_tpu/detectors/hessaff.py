@@ -36,13 +36,15 @@ def _thresholds(p: PyramidParams) -> tuple[float, float]:
 
 
 def _detect_one_octave(oct_blurs, oct_resps, valid_hw, p: PyramidParams,
-                       aff: AffineShapeParams, cap: int, pos_th, fin_th,
-                       pixel_distance: float, sigmas):
+                       aff: AffineShapeParams, cap: int, baum_cap: int,
+                       pos_th, fin_th, pixel_distance: float, sigmas):
     """Detect+adapt for ONE view and ONE octave (vmapped over views).
 
     oct_blurs/oct_resps: (L+2, H, W); valid_hw: (2,) int32 (h, w) of the
-    un-padded extent at this octave's resolution.  Returns Regions (cap,)
-    in IMAGE coordinates.
+    un-padded extent at this octave's resolution.  Localized survivors
+    are compacted to ``baum_cap`` before the (expensive) Baumberg stage —
+    the reference runs Baumberg only on localized points too.  Returns
+    Regions (baum_cap,) in IMAGE coordinates.
     """
     L = p.n_scales
     nms = ss._nms_mask(oct_resps[None], pos_th, -pos_th)[0]   # (L, H, W)
@@ -55,14 +57,22 @@ def _detect_one_octave(oct_blurs, oct_resps, valid_hw, p: PyramidParams,
     y_oct = loc["r"].astype(jnp.float32) + loc["b"][:, 1]
     sig = jnp.asarray(sigmas, jnp.float32)[lvl]
     s_oct = sig * jnp.exp2(loc["b"][:, 2] / L)
-    xy_oct = jnp.stack([x_oct, y_oct], axis=-1)
-    A, ok = baumberg_adapt(oct_blurs, lvl - 1, xy_oct, s_oct, ok, aff)
+
+    # compact survivors to the front (order-preserving)
+    key = jnp.where(ok, -jnp.arange(cap, dtype=jnp.float32), -jnp.inf)
+    _, idx = jax.lax.top_k(key, baum_cap)
+    ok = ok[idx] & (jnp.take(key, idx) > -jnp.inf)
+    xy_oct = jnp.stack([x_oct[idx], y_oct[idx]], axis=-1)
+    s_c = s_oct[idx]
+    lvl_c = lvl[idx]
+
+    A, ok = baumberg_adapt(oct_blurs, lvl_c - 1, xy_oct, s_c, ok, aff)
     return Regions(
         xy=xy_oct * pixel_distance,
         A=A,
-        s=s_oct * pixel_distance,
-        response=loc["val"],
-        sub_type=loc["sub_type"],
+        s=s_c * pixel_distance,
+        response=loc["val"][idx],
+        sub_type=loc["sub_type"][idx],
         mask=ok,
     )
 
@@ -124,9 +134,10 @@ def detect_affine_keypoints(imgs: jax.Array, valid_hw: jax.Array,
         # real images is well under 1 per 32 px
         oh, ow = octv.blurs.shape[-2:]
         cap = min(caps.per_octave, max(256, (oh * ow) // 32))
+        baum_cap = min(cap, caps.per_view)
         f = jax.vmap(
             lambda b, r, hw: _detect_one_octave(
-                b, r, hw, p, aff, cap, pos_th, fin_th, pd,
+                b, r, hw, p, aff, cap, baum_cap, pos_th, fin_th, pd,
                 octv.sigmas))
         per_oct.append(f(octv.blurs, octv.resps, vh))
     regs = concat_regions(per_oct)

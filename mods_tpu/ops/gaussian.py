@@ -29,6 +29,26 @@ def gauss_kernel_1d(sigma: float) -> np.ndarray:
     return k.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=256)
+def blur_band_matrix(n: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix M with out = M @ x == replicate-border
+    Gaussian filtering of a length-n signal.
+
+    XLA lowers single-channel 2-D convolutions poorly on TPU (they miss
+    the MXU); expressing the separable blur as two banded matmuls runs at
+    matrix-unit speed instead.  Border replication is absorbed into the
+    clamped column indices.
+    """
+    taps = gauss_kernel_1d(sigma)
+    half = len(taps) // 2
+    M = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for k, t in enumerate(taps):
+        j = np.clip(idx + k - half, 0, n - 1)
+        np.add.at(M, (idx, j), t)
+    return M
+
+
 def _conv1d(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
     """Convolve (..., H, W) along `axis` (-1 or -2) with replicate border."""
     half = taps.shape[0] // 2
@@ -56,11 +76,23 @@ def gaussian_blur(img: jax.Array, sigma: float,
 
     ``sigma_y`` enables the anisotropic anti-alias blur used by view
     synthesis (reference synth-detection.cpp:404-414).
+
+    On accelerators this runs as two banded matmuls (MXU path); the CPU
+    test backend keeps the cheaper sliding conv.
     """
     if sigma_y is None:
         sigma_y = sigma
-    kx = jnp.asarray(gauss_kernel_1d(float(sigma)))
-    ky = jnp.asarray(gauss_kernel_1d(float(sigma_y)))
-    out = _conv1d(img, ky, axis=-2)
-    out = _conv1d(out, kx, axis=-1)
+    if jax.default_backend() == "cpu":
+        kx = jnp.asarray(gauss_kernel_1d(float(sigma)))
+        ky = jnp.asarray(gauss_kernel_1d(float(sigma_y)))
+        out = _conv1d(img, ky, axis=-2)
+        out = _conv1d(out, kx, axis=-1)
+        return out
+    h, w = img.shape[-2], img.shape[-1]
+    My = jnp.asarray(blur_band_matrix(h, float(sigma_y)))
+    Mx = jnp.asarray(blur_band_matrix(w, float(sigma)))
+    out = jnp.einsum("ij,...jk->...ik", My, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("...ij,kj->...ik", out, Mx,
+                     preferred_element_type=jnp.float32)
     return out

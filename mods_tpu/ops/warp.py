@@ -20,6 +20,48 @@ import jax
 import jax.numpy as jnp
 
 
+def gather_2x2(img: jax.Array, y0: jax.Array, x0: jax.Array) -> jax.Array:
+    """Gather 2x2 pixel blocks from a (H, W) image at int (y0, x0).
+
+    One gather op with contiguous (2, 2) slices — far friendlier to the
+    TPU memory system than four scalar gathers (the dominant cost of all
+    patch sampling).  Out-of-range starts are clipped.
+    Returns (..., 2, 2) for any-index shape.
+    """
+    shp = y0.shape
+    starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    out = jax.lax.gather(
+        img, starts, dn, slice_sizes=(2, 2),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(shp + (2, 2))
+
+
+def gather_2x2_level(vol: jax.Array, lvl: jax.Array, y0: jax.Array,
+                     x0: jax.Array) -> jax.Array:
+    """As gather_2x2 but from a (L, H, W) stack with per-index level."""
+    shp = y0.shape
+    starts = jnp.stack([
+        jnp.broadcast_to(lvl, shp).reshape(-1),
+        y0.reshape(-1), x0.reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    out = jax.lax.gather(
+        vol, starts, dn, slice_sizes=(1, 2, 2),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    return out.reshape(shp + (2, 2))
+
+
+def _bilinear_combine(block: jax.Array, wx: jax.Array,
+                      wy: jax.Array) -> jax.Array:
+    top = block[..., 0, 0] + wx * (block[..., 0, 1] - block[..., 0, 0])
+    bot = block[..., 1, 0] + wx * (block[..., 1, 1] - block[..., 1, 0])
+    return top + wy * (bot - top)
+
+
 def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
                     fill: float = 0.0) -> jax.Array:
     """Sample (H, W) image at float coords; any-shape x/y.
@@ -35,19 +77,8 @@ def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     valid = (x0i >= 0) & (y0i >= 0) & (x0i < w - 1) & (y0i < h - 1)
-    x0c = jnp.clip(x0i, 0, w - 2)
-    y0c = jnp.clip(y0i, 0, h - 2)
-
-    def at(yy, xx):
-        return img[..., yy, xx]
-
-    i00 = at(y0c, x0c)
-    i01 = at(y0c, x0c + 1)
-    i10 = at(y0c + 1, x0c)
-    i11 = at(y0c + 1, x0c + 1)
-    top = i00 + wx * (i01 - i00)
-    bot = i10 + wx * (i11 - i10)
-    val = top + wy * (bot - top)
+    block = gather_2x2(img, y0i, x0i)
+    val = _bilinear_combine(block, wx, wy)
     return jnp.where(valid, val, fill)
 
 

@@ -10,6 +10,8 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+from mods_tpu.runtime import setup_cache
+setup_cache()
 
 from mods_tpu.config import (CapacityParams, IterationParams, RansacParams)
 from mods_tpu.pipeline import (EngineConfig, FeatureStore, TwoViewMatcher,
