@@ -145,8 +145,12 @@ def parse_matching_config(ini: dict) -> MatchParams:
     g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
     dup = ini.get("DuplicateFiltering", {})
     gd = lambda k, d: float(_strip_value(dup.get(k, str(d))))
+    mode = dup.get("whichCorrespondenceRemains", "random").strip()
+    mode_map = {"random": "random", "bestFGINN": "fginn",
+                "bestDistance": "distance", "biggerRegion": "bigger_region"}
     return MatchParams(
         contrad_dist=g("contradDist", 10.0),
         duplicate_dist=gd("duplicateDist", 3.0),
+        duplicate_mode=mode_map.get(mode, "random"),
         knn=int(g("kNN", 50)),
     )

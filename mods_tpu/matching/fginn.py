@@ -114,29 +114,36 @@ def match_distance(desc1, mask1, desc2, mask2, threshold,
 
 
 def duplicate_filter(xy1: jax.Array, xy2: jax.Array, mask: jax.Array,
-                     radius: float, iters: int = 8) -> jax.Array:
+                     radius: float, iters: int = 8,
+                     priority: jax.Array | None = None) -> jax.Array:
     """Duplicate tentative suppression (`DuplicateFiltering`,
-    matching.cpp:2983-3047, MODE_RANDOM ordering): a tentative j is
-    dropped when an earlier kept tentative i has both endpoints within
+    matching.cpp:2983-3047): a tentative j is dropped when a
+    higher-priority kept tentative i has both endpoints within
     ``radius``.
 
-    The reference's greedy sequential scan is approximated by fixed-point
-    iteration of "j is killed by any kept i < j"; it converges to the
-    exact greedy solution when duplicate chains are shorter than
-    ``iters`` links (overwhelmingly the case at radius ~3 px).
+    ``priority``: lower value wins (e.g. FGINN ratio for MODE_FGINN,
+    match index for MODE_RANDOM).  The reference's greedy sequential scan
+    is computed by fixed-point iteration of "j is killed by any kept
+    higher-priority i"; it converges to the exact greedy solution when
+    duplicate chains are shorter than ``iters`` links (overwhelmingly the
+    case at radius 2-3 px).
     """
     if radius <= 0:
         return mask
     n = xy1.shape[0]
     r2 = radius * radius
+    if priority is None:
+        priority = jnp.arange(n, dtype=jnp.float32)
 
     def close(a):
         d = a[:, None, :] - a[None, :, :]
         return jnp.sum(d * d, axis=-1) <= r2
 
     dup = close(xy1) & close(xy2)
-    lower = jnp.tril(jnp.ones((n, n), bool), k=-1)
-    pair_bad = dup & lower & mask[:, None] & mask[None, :]
+    # i kills j iff priority[i] < priority[j] (ties: lower index wins)
+    pr = priority + jnp.arange(n, dtype=priority.dtype) * 1e-9
+    higher = pr[None, :] < pr[:, None]     # [j, i]: i beats j
+    pair_bad = dup & higher & mask[:, None] & mask[None, :]
 
     keep = mask
 

@@ -199,8 +199,17 @@ def _match_program(cap: int, D: int, cfg: EngineConfig, use_f: bool):
                         cfg.match.contrad_dist, cfg.match.knn)
         txy1 = xy1
         txy2 = xy2[t.idx2]
+        mode = cfg.match.duplicate_mode
+        if mode == "fginn":
+            prio = t.ratio
+        elif mode == "distance":
+            prio = t.d1
+        elif mode == "bigger_region":
+            prio = -s1
+        else:
+            prio = None
         keep = duplicate_filter(txy1, txy2, t.mask,
-                                cfg.match.duplicate_dist)
+                                cfg.match.duplicate_dist, priority=prio)
         tmask = t.mask & keep
         n_tent = jnp.sum(tmask.astype(jnp.int32))
         H, inl, n_inl = ransac_h(txy1, txy2, tmask, cfg.ransac, key)
