@@ -82,18 +82,22 @@ def cmd_extract(argv: list[str]) -> int:
         ladder = [IterationParams()]
     matcher = TwoViewMatcher(ladder, cfg)
     g = np.asarray(to_gray(jnp.asarray(_load_image(imgp))))
-    store = FeatureStore()
+    stores: dict = {}
     prev: list = []
     log = TimeLog()
-    for it in ladder[:1]:  # extract_features runs iteration 0 only
-        prev = matcher._process_image(g, it, prev, store, log)
-    n = store.count
-    rs = RegionSet(
-        det_xy=store.xy, det_A=store.A, det_s=store.s,
-        reproj_xy=store.xy, reproj_A=store.A, reproj_s=store.s,
-        sub_type=np.zeros(n, np.int64), desc=store.desc)
-    save_regions(outp, {"HessianAffine": {"RootSIFT": rs}})
-    print(f"Saved {n} regions to {outp}")
+    it0 = ladder[0]  # extract_features runs iteration 0 only
+    prev = matcher._process_image(g, it0, prev, stores, log)
+    out = {}
+    for name, store in stores.items():
+        n = store.count
+        rs = RegionSet(
+            det_xy=store.xy, det_A=store.A, det_s=store.s,
+            reproj_xy=store.xy, reproj_A=store.A, reproj_s=store.s,
+            sub_type=np.zeros(n, np.int64), desc=store.desc)
+        out.setdefault(it0.detector, {})[name] = rs
+    save_regions(outp, out)
+    total = sum(s.count for s in stores.values())
+    print(f"Saved {total} regions to {outp}")
     return 0
 
 

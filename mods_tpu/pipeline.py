@@ -2,14 +2,16 @@
 
 Reference call stack (SURVEY.md §3.1, mods.cpp:229-415): per iteration,
 SynthDetectDescribeKeypoints on both images (imagerepresentation.cpp:603),
-MatchImgReps, DuplicateFiltering, geometric verification; stop when
-verified matches >= minMatches.
+MatchImgReps (correspondencebank.cpp:237), DuplicateFiltering, geometric
+verification; stop when verified matches >= minMatches.
 
-TPU design: each (tilt, zoom) view group compiles to ONE fused program
-(render -> detect -> orient -> describe -> reproject) batched over its
-rotations; the host loop only concatenates fixed-shape outputs and makes
-the escalation decision.  Matching + RANSAC run as a second compiled
-program over fixed-capacity feature stores.
+TPU design: per (tilt, zoom) view group, three compiled programs —
+render (batched warps), detect (scale-space family; MSER runs native on
+host), describe (orientation families + shared patch extraction + all
+SIFT-variant normalizations) — all batched over the group's rotations.
+Matching + verification run as compiled programs over fixed-capacity
+per-descriptor feature stores, with tentative lists concatenated across
+descriptors like the reference's CorrespondenceBank.
 """
 
 from __future__ import annotations
@@ -26,27 +28,43 @@ from mods_tpu.config import (AffineShapeParams, CapacityParams,
                              DominantOrientationParams, IterationParams,
                              MatchParams, PyramidParams, RansacParams,
                              SIFTDescriptorParams)
-from mods_tpu.descriptors.describe import extract_descriptor_patches
+from mods_tpu.descriptors.describe import (extract_descriptor_patches,
+                                           image_to_patch_scale)
 from mods_tpu.descriptors.orientation import detect_orientations, \
     rotate_shapes
-from mods_tpu.descriptors.sift import compute_sift
+from mods_tpu.descriptors.registry import DescriptorSpec, get_spec
+from mods_tpu.descriptors.sift import sift_histograms, sift_norm
 from mods_tpu.detectors.hessaff import detect_affine_keypoints
 from mods_tpu.matching.fginn import duplicate_filter, match_fginn
 from mods_tpu.ops.image import round_up, to_gray
 from mods_tpu.ops.warp import touches_border
+from mods_tpu.ransac.fundamental import ransac_f
 from mods_tpu.ransac.homography import ransac_h
-from mods_tpu.ransac.laf_check import K_SIGMA, h_laf_check
-from mods_tpu.ransac import errors as E
+from mods_tpu.ransac.laf_check import K_SIGMA, f_laf_check, h_laf_check
 from mods_tpu.timing import TimeLog
 
 MIN_POINTS = 8  # matching.hpp MIN_POINTS
 
 
 @dataclass(frozen=True)
+class MserParams:
+    """reference [MSER] config section (io_mods.cpp)."""
+    min_size: int = 30
+    max_area: float = 0.05
+    min_margin: int = 8
+
+
+@dataclass(frozen=True)
 class EngineConfig:
-    pyramid: PyramidParams = PyramidParams()
+    pyramid: PyramidParams = PyramidParams()           # HessianAffine
+    pyramid_dog: PyramidParams = PyramidParams(
+        detector_type="DoG", threshold=8.0)
+    pyramid_harris: PyramidParams = PyramidParams(
+        detector_type="Harris", threshold=15.0)
+    mser: MserParams = MserParams()
     affine: AffineShapeParams = AffineShapeParams()
-    dom_ori: DominantOrientationParams = DominantOrientationParams()
+    dom_ori: DominantOrientationParams = DominantOrientationParams(
+        max_angles=1)
     sift: SIFTDescriptorParams = SIFTDescriptorParams(root_sift=True)
     match: MatchParams = MatchParams()
     ransac: RansacParams = RansacParams()
@@ -54,10 +72,16 @@ class EngineConfig:
     min_matches: int = 10
     max_steps: int = 7
 
+    def pyramid_for(self, detector: str) -> PyramidParams:
+        return {"HessianAffine": self.pyramid,
+                "DoG": self.pyramid_dog,
+                "HarrisAffine": self.pyramid_harris}[detector]
+
 
 @dataclass
 class FeatureStore:
-    """Host-side accumulated features of one image (original frame)."""
+    """Host-side accumulated features of one image for ONE descriptor
+    (original/reprojected frame)."""
     xy: np.ndarray = None
     A: np.ndarray = None
     s: np.ndarray = None
@@ -80,86 +104,96 @@ class FeatureStore:
     def count(self) -> int:
         return 0 if self.xy is None else self.xy.shape[0]
 
-    def padded(self, cap: int):
-        """Fixed-capacity arrays + mask for the matcher."""
+    def padded(self, cap: int, dim: int):
         n = min(self.count, cap)
-        D = self.desc.shape[1] if self.count else 128
         xy = np.zeros((cap, 2), np.float32)
         A = np.zeros((cap, 2, 2), np.float32)
         s = np.zeros((cap,), np.float32)
-        desc = np.zeros((cap, D), np.float32)
+        desc = np.zeros((cap, dim), np.float32)
         mask = np.zeros((cap,), bool)
         if n:
-            sel = slice(0, n)
             if self.count > cap:
                 order = np.argsort(-np.abs(self.response))[:cap]
             else:
                 order = np.arange(n)
-            xy[sel] = self.xy[order]
-            A[sel] = self.A[order]
-            s[sel] = self.s[order]
-            desc[sel] = self.desc[order]
-            mask[sel] = True
+            xy[:n] = self.xy[order]
+            A[:n] = self.A[order]
+            s[:n] = self.s[order]
+            desc[:n] = self.desc[order]
+            mask[:n] = True
         return xy, A, s, desc, mask
 
 
-@functools.lru_cache(maxsize=64)
-def _group_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
-                   wc: int, sigma_x: float, sigma_y: float, sx: float,
-                   sy: float, do_blur: bool, identity: bool,
-                   cfg: EngineConfig):
-    """Compile the fused per-group program.  Static: canvas geometry,
-    blur sigmas, squash scales, config."""
+# --------------------------------------------------------------------------
+# compiled per-group programs
+
+@functools.lru_cache(maxsize=128)
+def _render_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
+                    wc: int, sigma_x: float, sigma_y: float, sx: float,
+                    sy: float, do_blur: bool, identity: bool):
     from mods_tpu.ops.gaussian import gaussian_blur
     from mods_tpu.ops.warp import affine_warp
 
-    caps = cfg.caps
-    P = cfg.sift.patch_extraction.patch_size
-    M = caps.max_angles
-
-    def program(img, rot_inv, valid_hw, hinv):
-        # img: (h0, w0); rot_inv: (V, 2, 3); valid_hw: (V, 2) int32;
-        # hinv: (V, 2, 3) affine synth->original maps
+    def program(img, rot_inv):
         if identity:
             views = jnp.full((V, hc, wc), 128.0, img.dtype)
-            views = views.at[:, :h0, :w0].set(img[None])
-        else:
-            rots = jax.vmap(lambda m: affine_warp(
-                img, m, hr, wr, fill=128.0))(rot_inv)
-            if do_blur:
-                rots = gaussian_blur(rots, sigma_x, sigma_y)
-            squash_inv = jnp.asarray(
-                [[1.0 / sx, 0.0, 0.0], [0.0, 1.0 / sy, 0.0]], jnp.float32)
-            views = jax.vmap(lambda im: affine_warp(
-                im, squash_inv, hc, wc, fill=128.0))(rots)
+            return views.at[:, :h0, :w0].set(img[None])
+        rots = jax.vmap(lambda m: affine_warp(
+            img, m, hr, wr, fill=128.0))(rot_inv)
+        if do_blur:
+            rots = gaussian_blur(rots, sigma_x, sigma_y)
+        squash_inv = jnp.asarray(
+            [[1.0 / sx, 0.0, 0.0], [0.0, 1.0 / sy, 0.0]], jnp.float32)
+        return jax.vmap(lambda im: affine_warp(
+            im, squash_inv, hc, wc, fill=128.0))(rots)
 
-        regs = detect_affine_keypoints(
-            views, valid_hw, cfg.pyramid, cfg.affine, caps)
+    return jax.jit(program)
 
-        # orientation per view
-        do = cfg.dom_ori
-        def ori_one(view, r):
+
+@functools.lru_cache(maxsize=128)
+def _ss_detect_program(V: int, hc: int, wc: int, pyr: PyramidParams,
+                       aff: AffineShapeParams, caps: CapacityParams):
+    def program(views, valid_hw, reg_number):
+        return detect_affine_keypoints(views, valid_hw, pyr, aff, caps,
+                                       reg_number)
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=128)
+def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
+                  specs: tuple, dom_ori: DominantOrientationParams,
+                  pe_mr: float, pe_patch: int, pe_photo: bool,
+                  caps: CapacityParams):
+    """views + Regions(V, K) + hinv -> flattened reprojected regions and a
+    descriptor array per spec.  Orientation families (SIFT-like vs
+    HalfSIFT-like, imagerepresentation.cpp:1253-1269) are computed once
+    each; SIFT variants share patches and histograms and differ only in
+    folding/normalization (siftdesc.cpp operator())."""
+    specs = tuple(get_spec(s) for s in specs)
+    M = caps.max_angles
+    families = sorted({sp.half_sift_like for sp in specs})
+
+    def one_family(views, regs_xy, regs_A, regs_s, regs_mask, hinv,
+                   half_sift: bool):
+        def ori_one(view, xy, A, s, m):
             return detect_orientations(
-                view, r.xy, r.A, r.s, r.mask,
-                do.patch_extraction.mr_size,
-                do.patch_extraction.patch_size, M, do.threshold,
-                half_sift=cfg.sift.half_sift)
-        angles, amask = jax.vmap(ori_one)(views, regs)   # (V, K, M)
-        if do.max_angles >= 0:
-            keep_m = jnp.arange(M) < do.max_angles
-            amask = amask & keep_m[None, None, :]
-        Arot = jax.vmap(rotate_shapes)(regs.A, angles)   # (V, K, M, 2, 2)
+                view, xy, A, s, m,
+                dom_ori.patch_extraction.mr_size,
+                dom_ori.patch_extraction.patch_size, M,
+                dom_ori.threshold, half_sift=half_sift)
+        angles, amask = jax.vmap(ori_one)(
+            views, regs_xy, regs_A, regs_s, regs_mask)
+        if dom_ori.max_angles >= 0:
+            amask = amask & (jnp.arange(M) < dom_ori.max_angles)[None, None]
+        Arot = jax.vmap(rotate_shapes)(regs_A, angles)
 
-        K = regs.capacity
-        xy_f = jnp.repeat(regs.xy[:, :, None], M, 2).reshape(V, K * M, 2)
+        xy_f = jnp.repeat(regs_xy[:, :, None], M, 2).reshape(V, K * M, 2)
         A_f = Arot.reshape(V, K * M, 2, 2)
-        s_f = jnp.repeat(regs.s[:, :, None], M, 2).reshape(V, K * M)
-        r_f = jnp.repeat(regs.response[:, :, None], M, 2).reshape(V, K * M)
+        s_f = jnp.repeat(regs_s[:, :, None], M, 2).reshape(V, K * M)
         m_f = amask.reshape(V, K * M)
 
-        # reproject to original frame (ReprojectRegions,
-        # synth-detection.cpp:543-616) and boundary-filter there
-        lin = hinv[:, :, :2]                              # (V, 2, 2)
+        # reproject to original frame + boundary filter there
+        lin = hinv[:, :, :2]
         xy_r = (jnp.einsum("vab,vkb->vka", lin, xy_f)
                 + hinv[:, None, :, 2])
         A_r = jnp.einsum("vab,vkbc->vkac", lin, A_f)
@@ -169,60 +203,116 @@ def _group_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
         tb = jax.vmap(lambda xyv, Av, hv: touches_border(
             w0, h0, xyv, Av, hv, hv))(xy_r, A_r, half)
         m_f = m_f & inside & ~tb
+        return xy_f, A_f, s_f, m_f, xy_r, A_r
 
-        # describe in the VIEW frame (DescribeRegions samples det_kp
-        # coords from the synth image, imagerepresentation.cpp:1274-1985)
-        pe = cfg.sift.patch_extraction
-        def desc_one(view, xyv, Av, sv):
-            patches = extract_descriptor_patches(
-                view, xyv, Av, sv, pe.mr_size, pe.patch_size,
-                photo_norm=pe.photo_norm)
-            return compute_sift(patches, cfg.sift)
-        desc = jax.lax.map(lambda t: desc_one(*t),
-                           (views, xy_f, A_f, s_f))      # (V, K*M, D)
+    def program(views, regs_xy, regs_A, regs_s, regs_resp, regs_mask,
+                hinv):
+        out = {}
+        fam_data = {}
+        for half in families:
+            fam_data[half] = one_family(
+                views, regs_xy, regs_A, regs_s, regs_mask, hinv, half)
 
-        D = desc.shape[-1]
-        return (xy_r.reshape(-1, 2), A_r.reshape(-1, 2, 2),
-                s_f.reshape(-1), r_f.reshape(-1),
-                desc.reshape(-1, D), m_f.reshape(-1))
+        r_f = jnp.repeat(regs_resp[:, :, None], M, 2).reshape(V, K * M)
+
+        for half in families:
+            xy_f, A_f, s_f, m_f, xy_r, A_r = fam_data[half]
+            fam_specs = [sp for sp in specs if sp.half_sift_like == half]
+
+            def patches_hist(view, xyv, Av, sv, scale_coef=1.0):
+                p = extract_descriptor_patches(
+                    view, xyv, Av, sv * scale_coef, pe_mr, pe_patch,
+                    photo_norm=pe_photo)
+                return p
+
+            base = SIFTDescriptorParams()  # raw histogram params
+            need_hist = any(sp.kind == "sift" for sp in fam_specs)
+            need_pix = any(sp.kind == "pixels" for sp in fam_specs)
+
+            def desc_one_view(view, xyv, Av, sv):
+                res = {}
+                patches = patches_hist(view, xyv, Av, sv)
+                if need_hist:
+                    hist = sift_histograms(patches, base)
+                    for sp in fam_specs:
+                        if sp.kind != "sift":
+                            continue
+                        h = hist
+                        if sp.dsp_levels > 0:
+                            # DSP-SIFT: pool histograms over region scales
+                            # (imagerepresentation.cpp:1547-1598)
+                            coefs = np.linspace(0.5, 1.5, sp.dsp_levels)
+                            for c in coefs:
+                                if abs(c - 1.0) < 1e-6:
+                                    continue
+                                pc = patches_hist(view, xyv, Av, sv,
+                                                  float(c))
+                                h = h + sift_histograms(pc, base)
+                        p = sp.sift
+                        if p.half_sift:
+                            ob = p.orientation_bins
+                            hh = h[..., :ob // 2] + h[..., ob // 2:]
+                        else:
+                            hh = h
+                        v = hh.reshape(hh.shape[0], -1)
+                        if p.do_norm:
+                            v = sift_norm(v, p.max_bin_value, p.root_sift)
+                        res[sp.name] = v
+                if need_pix:
+                    flat = patches.reshape(patches.shape[0], -1)
+                    nrm = jnp.sqrt(jnp.sum(flat * flat, -1,
+                                           keepdims=True))
+                    res["Pixels"] = flat / jnp.maximum(nrm, 1e-6)
+                return res
+
+            descs = jax.lax.map(
+                lambda t: desc_one_view(*t), (views, xy_f, A_f, s_f))
+            for sp in fam_specs:
+                D = descs[sp.name].shape[-1]
+                out[sp.name] = dict(
+                    desc=descs[sp.name].reshape(-1, D),
+                    xy=fam_data[half][4].reshape(-1, 2),
+                    A=fam_data[half][5].reshape(-1, 2, 2),
+                    s=s_f.reshape(-1),
+                    response=r_f.reshape(-1),
+                    mask=m_f.reshape(-1),
+                )
+        return out
 
     return jax.jit(program)
 
 
-@functools.lru_cache(maxsize=32)
-def _match_program(cap: int, D: int, cfg: EngineConfig, use_f: bool):
-    caps = cfg.caps
+@functools.lru_cache(maxsize=64)
+def _tentative_program(cap: int, D: int, knn: int, contrad: float):
+    def program(d1, m1, d2, m2, xy2, ratio_th):
+        return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad, knn)
+    return jax.jit(program)
 
-    def program(xy1, A1, s1, d1, m1, xy2, A2, s2, d2, m2,
-                ratio_th, key):
-        t = match_fginn(d1, m1, d2, m2, xy2, ratio_th,
-                        cfg.match.contrad_dist, cfg.match.knn)
-        txy1 = xy1
-        txy2 = xy2[t.idx2]
-        mode = cfg.match.duplicate_mode
-        if mode == "fginn":
-            prio = t.ratio
-        elif mode == "distance":
-            prio = t.d1
-        elif mode == "bigger_region":
-            prio = -s1
-        else:
-            prio = None
-        keep = duplicate_filter(txy1, txy2, t.mask,
-                                cfg.match.duplicate_dist, priority=prio)
-        tmask = t.mask & keep
+
+@functools.lru_cache(maxsize=32)
+def _verify_program(cap: int, cfg: EngineConfig):
+    """Combined tentatives -> duplicate filter -> RANSAC -> LAF check."""
+    def program(xy1, A1, s1, xy2, A2, s2, prio, mask, key):
+        keep = duplicate_filter(xy1, xy2, mask, cfg.match.duplicate_dist,
+                                priority=prio)
+        tmask = mask & keep
         n_tent = jnp.sum(tmask.astype(jnp.int32))
-        H, inl, n_inl = ransac_h(txy1, txy2, tmask, cfg.ransac, key)
-        # LAF check (matching.cpp:952-967)
-        lafm = h_laf_check(
-            H, txy1, A1, s1, txy2, A2[t.idx2], s2[t.idx2], inl,
-            3.0 * cfg.ransac.h_laf_coef * cfg.ransac.err_threshold)
+        if cfg.ransac.use_f:
+            M, inl, n_inl, _ = ransac_f(xy1, xy2, tmask, cfg.ransac, key)
+            lafm = f_laf_check(
+                M, xy1, A1, s1, xy2, A2, s2, inl,
+                cfg.ransac.laf_coef * cfg.ransac.err_threshold,
+                sampson=cfg.ransac.error_type == "sampson")
+        else:
+            M, inl, n_inl = ransac_h(xy1, xy2, tmask, cfg.ransac, key)
+            lafm = h_laf_check(
+                M, xy1, A1, s1, xy2, A2, s2, inl,
+                3.0 * cfg.ransac.h_laf_coef * cfg.ransac.err_threshold)
         n_laf = jnp.sum(lafm.astype(jnp.int32))
         enough = (n_tent >= MIN_POINTS) & (n_laf >= MIN_POINTS)
         final = jnp.where(enough, lafm, jnp.zeros_like(lafm))
-        return dict(H=H, idx2=t.idx2, tent_mask=tmask, inlier_mask=final,
-                    n_tent=n_tent, n_inl=jnp.sum(final.astype(jnp.int32)),
-                    ratio=t.ratio)
+        return dict(model=M, inlier_mask=final, n_tent=n_tent,
+                    n_inl=jnp.sum(final.astype(jnp.int32)))
 
     return jax.jit(program)
 
@@ -247,14 +337,62 @@ class TwoViewMatcher:
         self.ladder = ladder if ladder is not None else [IterationParams()]
         self.key = jax.random.PRNGKey(seed)
 
+    # -- feature extraction ------------------------------------------------
+
+    def _detect_group(self, views, valid_hw, plans, it, log):
+        """Dispatch detection for one rendered view group."""
+        cfg = self.cfg
+        V = len(plans)
+        hc, wc = views.shape[-2:]
+        det = it.detector
+        # per-view region budget scaling (scale-space-detector.cpp:50-51)
+        regn = []
+        base_rn = cfg.pyramid_for(det).reg_number \
+            if det in ("HessianAffine", "DoG", "HarrisAffine") else -1
+        for p in plans:
+            t, z = p.view.tilt, p.view.zoom
+            rn = base_rn
+            if base_rn > 0 and (t > 2.0 or z < 0.5):
+                rn = int(np.floor(z * base_rn / t))
+            regn.append(rn if rn > 0 else 10**9)
+        regn = jnp.asarray(regn, jnp.int32)
+
+        if det in ("HessianAffine", "DoG", "HarrisAffine"):
+            prog = _ss_detect_program(V, hc, wc, cfg.pyramid_for(det),
+                                      cfg.affine, cfg.caps)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw, regn)
+                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+            return regs
+        if det == "MSER":
+            from mods_tpu.detectors.mser import detect_msers_padded
+            from mods_tpu.regions import Regions
+            with log.phase("DetectTime"):
+                views_np = np.asarray(views)
+                outs = []
+                for v in range(V):
+                    outs.append(detect_msers_padded(
+                        views_np[v], np.asarray(valid_hw[v]), cfg.caps,
+                        min_size=cfg.mser.min_size,
+                        max_area=cfg.mser.max_area,
+                        min_margin=cfg.mser.min_margin))
+                stack = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+            return Regions(
+                xy=jnp.asarray(stack["xy"]), A=jnp.asarray(stack["A"]),
+                s=jnp.asarray(stack["s"]),
+                response=jnp.asarray(stack["response"]),
+                sub_type=jnp.asarray(stack["sub_type"]),
+                mask=jnp.asarray(stack["mask"]))
+        raise KeyError(f"unknown detector {det!r}")
+
     def _process_image(self, img: np.ndarray, it: IterationParams,
-                       prev_views: list, store: FeatureStore,
-                       log: TimeLog):
+                       prev_views: list, stores: dict, log: TimeLog):
         cfg = self.cfg
         h, w = img.shape
         views, prev_views = synthesis.expand_views(it, prev_views)
         plans = [synthesis.plan_view(v, w, h) for v in views]
         img_j = jnp.asarray(img)
+        pe = cfg.sift.patch_extraction
         for group in synthesis.group_views(plans):
             p0 = group[0]
             V = len(group)
@@ -276,66 +414,138 @@ class TwoViewMatcher:
                     rot_inv.append([[ia, ib, -(ia * tx + ib * ty)],
                                     [ic, id_, -(ic * tx + id_ * ty)]])
                 rot_inv = np.asarray(rot_inv, np.float32)
-            valid_hw = np.asarray([[p.h_new, p.w_new] for p in group],
-                                  np.int32)
-            hinv = []
-            for p in group:
-                Hm = np.asarray(p.H, np.float64).reshape(3, 3)
-                hinv.append(np.linalg.inv(Hm)[:2, :])
-            hinv = np.asarray(hinv, np.float32)
+            valid_hw = jnp.asarray(
+                [[p.h_new, p.w_new] for p in group], np.int32)
+            hinv = np.asarray(
+                [np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
+                               )[:2, :] for p in group], np.float32)
 
-            prog = _group_program(
+            render = _render_program(
                 V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
                 p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
-                p0.identity, cfg)
-            with log.phase("DetectTime"):
-                out = prog(img_j, jnp.asarray(rot_inv),
-                           jnp.asarray(valid_hw), jnp.asarray(hinv))
-                out = jax.tree.map(
-                    lambda x: x.block_until_ready(), out)
-            store.add(*out)
+                p0.identity)
+            with log.phase("SynthTime"):
+                views_arr = render(img_j, jnp.asarray(rot_inv))
+                views_arr.block_until_ready()
+
+            regs = self._detect_group(views_arr, valid_hw, group, it, log)
+
+            dp = _desc_program(
+                V, hc, wc, h, w, regs.capacity, tuple(it.descriptors),
+                cfg.dom_ori, pe.mr_size, pe.patch_size, pe.photo_norm,
+                cfg.caps)
+            with log.phase("DescTime"):
+                out = dp(views_arr, regs.xy, regs.A, regs.s,
+                         regs.response, regs.mask, jnp.asarray(hinv))
+                out = jax.tree.map(lambda x: np.asarray(x), out)
+            for name, d in out.items():
+                stores.setdefault(name, FeatureStore()).add(
+                    d["xy"], d["A"], d["s"], d["response"], d["desc"],
+                    d["mask"])
         return prev_views
+
+    # -- matching ----------------------------------------------------------
+
+    def _match_stores(self, stores1: dict, stores2: dict,
+                      it: IterationParams, log: TimeLog):
+        """Per-descriptor FGINN tentatives, concatenated; then verify."""
+        cfg = self.cfg
+        cap = cfg.caps.per_image
+        tent_parts = []
+        names = [n for n in stores1 if n in stores2]
+        thr_map = dict(zip(it.descriptors, it.fginn_threshold))
+        for name in names:
+            spec = get_spec(name)
+            xy1, A1, s1, d1, m1 = stores1[name].padded(cap, spec.dim)
+            xy2, A2, s2, d2, m2 = stores2[name].padded(cap, spec.dim)
+            ratio = thr_map.get(name, cfg.match.ratio_threshold)
+            if ratio <= 0:
+                ratio = cfg.match.ratio_threshold
+            prog = _tentative_program(cap, spec.dim, cfg.match.knn,
+                                      cfg.match.contrad_dist)
+            with log.phase("MatchingTime"):
+                t = prog(jnp.asarray(d1), jnp.asarray(m1),
+                         jnp.asarray(d2), jnp.asarray(m2),
+                         jnp.asarray(xy2), jnp.float32(ratio))
+                t = jax.tree.map(np.asarray, t)
+            idx2 = t.idx2
+            mode = cfg.match.duplicate_mode
+            if mode == "fginn":
+                prio = t.ratio
+            elif mode == "distance":
+                prio = t.d1
+            elif mode == "bigger_region":
+                prio = -s1
+            else:
+                prio = np.arange(cap, dtype=np.float32)
+            tent_parts.append(dict(
+                xy1=xy1, A1=A1, s1=s1,
+                xy2=xy2[idx2], A2=A2[idx2], s2=s2[idx2],
+                prio=prio, mask=t.mask))
+
+        tcap = cfg.caps.tentatives
+        comb = {k: np.zeros((tcap,) + tent_parts[0][k].shape[1:],
+                            tent_parts[0][k].dtype)
+                for k in tent_parts[0]} if tent_parts else None
+        if comb is None:
+            return None
+        pos = 0
+        for part in tent_parts:
+            m = part["mask"]
+            n = min(int(m.sum()), tcap - pos)
+            if n <= 0:
+                continue
+            sel = np.where(m)[0][:n]
+            for k in comb:
+                comb[k][pos:pos + n] = part[k][sel]
+            pos += n
+        comb["mask"] = np.zeros(tcap, bool)
+        comb["mask"][:pos] = True
+
+        vp = _verify_program(tcap, cfg)
+        self.key, k = jax.random.split(self.key)
+        with log.phase("RANSACTime"):
+            out = vp(*[jnp.asarray(comb[k2]) for k2 in
+                       ("xy1", "A1", "s1", "xy2", "A2", "s2", "prio",
+                        "mask")], k)
+            out = jax.tree.map(np.asarray, out)
+        out["xy1_all"] = comb["xy1"]
+        out["xy2_all"] = comb["xy2"]
+        return out
 
     def match(self, img1, img2) -> MatchResult:
         cfg = self.cfg
         log = TimeLog()
         g1 = np.asarray(to_gray(jnp.asarray(img1)))
         g2 = np.asarray(to_gray(jnp.asarray(img2)))
-        store1, store2 = FeatureStore(), FeatureStore()
+        stores1: dict = {}
+        stores2: dict = {}
         prev1: list = []
         prev2: list = []
         best = None
         steps = 0
         for it in self.ladder[:cfg.max_steps]:
             steps += 1
-            prev1 = self._process_image(g1, it, prev1, store1, log)
-            prev2 = self._process_image(g2, it, prev2, store2, log)
-
-            cap = cfg.caps.per_image
-            xy1, A1, s1, d1, m1 = store1.padded(cap)
-            xy2, A2, s2, d2, m2 = store2.padded(cap)
-            D = d1.shape[1]
-            prog = _match_program(cap, D, cfg, cfg.ransac.use_f)
-            self.key, k = jax.random.split(self.key)
-            ratio = it.fginn_threshold[0] if it.fginn_threshold else \
-                cfg.match.ratio_threshold
-            with log.phase("MatchingTime"):
-                out = prog(*map(jnp.asarray,
-                                (xy1, A1, s1, d1, m1,
-                                 xy2, A2, s2, d2, m2)),
-                           jnp.float32(ratio), k)
-                out = jax.tree.map(lambda x: np.asarray(x), out)
+            prev1 = self._process_image(g1, it, prev1, stores1, log)
+            prev2 = self._process_image(g2, it, prev2, stores2, log)
+            out = self._match_stores(stores1, stores2, it, log)
+            if out is None:
+                continue
             n_inl = int(out["n_inl"])
             if best is None or n_inl > best[0]:
                 inl = out["inlier_mask"]
                 best = (n_inl, MatchResult(
-                    H=np.asarray(out["H"]),
-                    xy1=xy1[inl], xy2=xy2[out["idx2"]][inl],
+                    H=np.asarray(out["model"]),
+                    xy1=out["xy1_all"][inl], xy2=out["xy2_all"][inl],
                     n_matches=n_inl, n_tentatives=int(out["n_tent"]),
                     steps_used=steps, log=log))
             if n_inl >= cfg.min_matches:
                 break
         log.finalize()
+        if best is None:
+            return MatchResult(H=np.eye(3), xy1=np.zeros((0, 2)),
+                               xy2=np.zeros((0, 2)), n_matches=0,
+                               n_tentatives=0, steps_used=steps, log=log)
         res = best[1]
         res.steps_used = steps
         return res

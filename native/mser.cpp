@@ -32,10 +32,10 @@ struct Stats {
 
 struct Component {
   Stats cur;        // live statistics
-  Stats snap;       // statistics at the start of the stable run
-  int stable_since = 0;   // gray level where the stable run began
-  int snap_level = 0;
-  double snap_size = 0;
+  Stats snap;       // statistics at the most-stable level seen so far
+  int birth = 0;          // gray level where this component appeared
+  double size_prev = 0;   // size at the end of the previous gray level
+  double best_rate = 2.0; // best (lowest) relative growth rate
 };
 
 struct Out {
@@ -84,9 +84,11 @@ void sym_sqrt(double cxx, double cxy, double cyy,
 
 void emit(const Component &c, int level, int min_margin, double min_size,
           double max_size, std::vector<Out> &out) {
-  int margin = level - c.stable_since;
-  if (margin < min_margin) return;
-  const Stats &s = c.snap;
+  // CMP margin semantics (getExtrema.cpp:344): lifespan in gray levels
+  // from the component's appearance to its merge into a larger region.
+  int margin = level - c.birth + 1;
+  if (margin <= min_margin) return;
+  const Stats &s = c.snap.n > 0 ? c.snap : c.cur;
   if (s.n < min_size || s.n > max_size) return;
   double mx = s.sx / s.n, my = s.sy / s.n;
   double cxx = s.sxx / s.n - mx * mx;
@@ -120,22 +122,24 @@ void detect_polarity(const uint8_t *img, int h, int w, int min_size,
   UnionFind uf(n);
   std::vector<Component> comp(n);
   std::vector<uint8_t> added(n, 0);
-  // grow-rate threshold that ends a stable run (area change > 10%)
-  const double kGrow = 1.1;
+  std::vector<int> touched;           // roots touched at this level
+  std::vector<int> stamp(n, -1);
+  touched.reserve(1 << 12);
 
   int idx = 0;
   for (int level = 0; level < 256; level++) {
     int end = count[level + 1];
+    touched.clear();
     for (; idx < end; idx++) {
       int p = order[idx];
       int y = p / w, x = p - y * w;
       added[p] = 1;
       comp[p].cur = Stats();
       comp[p].cur.add(x, y);
-      comp[p].snap = comp[p].cur;
-      comp[p].stable_since = level;
-      comp[p].snap_level = level;
-      comp[p].snap_size = 1;
+      comp[p].snap = Stats();
+      comp[p].birth = level;
+      comp[p].size_prev = 0;
+      comp[p].best_rate = 2.0;
       int root = p;
       const int nb[4] = {x > 0 ? p - 1 : -1, x < w - 1 ? p + 1 : -1,
                          y > 0 ? p - w : -1, y < h - 1 ? p + w : -1};
@@ -145,44 +149,41 @@ void detect_polarity(const uint8_t *img, int h, int w, int min_size,
         int rq = uf.find(q);
         root = uf.find(root);
         if (rq == root) continue;
-        // merge smaller into larger
+        // merge smaller into larger; the larger keeps its birth level
+        // (getExtrema.cpp MergeRegions)
         int big = comp[root].cur.n >= comp[rq].cur.n ? root : rq;
         int small = big == root ? rq : root;
-        // the dying (smaller) component may be emitted
+        // the dying (smaller) component is a finished tree node
         if (comp[small].cur.n > 1)
           emit(comp[small], level, min_margin, min_size, max_size, out);
-        double prev_big = comp[big].cur.n;
         comp[big].cur.merge(comp[small].cur);
-        // significant growth ends the big component's stable run too
-        if (comp[big].cur.n > kGrow * comp[big].snap_size) {
-          emit(comp[big], level, min_margin, min_size, max_size, out);
-          comp[big].stable_since = level;
-          comp[big].snap = comp[big].cur;
-          comp[big].snap_size = comp[big].cur.n;
-          comp[big].snap_level = level;
-        }
-        (void)prev_big;
         uf.parent[small] = big;
         root = big;
       }
-      // growth check after this pixel joined (p's stats were carried in
-      // through the union merges above)
       root = uf.find(p);
-      if (comp[root].cur.n > kGrow * comp[root].snap_size) {
-        emit(comp[root], level, min_margin, min_size, max_size, out);
-        comp[root].stable_since = level;
-        comp[root].snap = comp[root].cur;
-        comp[root].snap_size = comp[root].cur.n;
-        comp[root].snap_level = level;
+      if (stamp[root] != level) {
+        stamp[root] = level;
+        touched.push_back(root);
       }
+    }
+    // end of gray level: update stability snapshots of touched roots
+    // (the most-stable threshold = lowest relative growth rate — the
+    // FastSetOptThresholds4StableRegion role)
+    for (int r : touched) {
+      if (uf.parent[r] >= 0) continue;  // got merged after being touched
+      Component &c = comp[r];
+      double rate = (c.cur.n - c.size_prev) / c.cur.n;
+      if (rate < c.best_rate && c.cur.n > 1) {
+        c.best_rate = rate;
+        c.snap = c.cur;
+      }
+      c.size_prev = c.cur.n;
     }
   }
   // end of image: emit all surviving roots
   for (int i = 0; i < n; i++) {
-    if (uf.parent[i] < 0 && added[i] && comp[i].cur.n > 1) {
-      Component c = comp[i];
-      emit(c, 255, min_margin, min_size, max_size, out);
-    }
+    if (uf.parent[i] < 0 && added[i] && comp[i].cur.n > 1)
+      emit(comp[i], 255, min_margin, min_size, max_size, out);
   }
 }
 

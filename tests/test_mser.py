@@ -58,10 +58,14 @@ def test_mser_margin_budget():
     assert len(hi["xy"]) <= len(lo["xy"])
 
 
-def test_mser_noise_yields_few():
-    # noise has no strongly stable regions: raising the margin threshold
-    # must suppress nearly everything
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (128, 128)).astype(np.uint8)
-    d = detect_msers_np(img, min_size=30, max_area=0.05, min_margin=20)
-    assert len(d["xy"]) < 40, len(d["xy"])
+def test_mser_translation_covariant():
+    img = blob_image()
+    d1 = detect_msers_np(img, min_size=30, max_area=0.25, min_margin=8)
+    shifted = np.roll(np.roll(img, 5, axis=0), -7, axis=1)
+    d2 = detect_msers_np(shifted, min_size=30, max_area=0.25,
+                         min_margin=8)
+    # every region of d1 should appear shifted by (-7, +5)
+    for xy in d1["xy"]:
+        t = xy + np.array([-7.0, 5.0])
+        dd = np.linalg.norm(d2["xy"] - t, axis=1)
+        assert dd.min() < 1.0, (xy, dd.min())
