@@ -99,15 +99,20 @@ def match_fginn(desc1: jax.Array, mask1: jax.Array, desc2: jax.Array,
 
 
 def match_distance(desc1, mask1, desc2, mask2, threshold,
-                   row_tile: int = 1024) -> Tentatives:
+                   row_tile: int = 1024,
+                   squared_threshold: bool = False) -> Tentatives:
     """Absolute-distance matching (`MatchFLANNDistance`,
     matching.cpp:607-666): nearest neighbor with distance <= threshold.
-    Distances are L2 here; binary descriptors use the Hamming variant in
-    `matching/hamming.py`."""
+
+    For binary (0/1 float) descriptors the squared L2 IS the Hamming
+    distance, so pass ``squared_threshold=True`` with the Hamming budget
+    (e.g. the ladder's DistanceThreshold=60 for ORB).
+    """
     dists, idx = knn_squared_l2(desc1, mask1, desc2, mask2, 2, row_tile)
     d0 = dists[:, 0]
     thr = jnp.asarray(threshold, jnp.float32)
-    ok = mask1 & (d0 <= thr * thr) & jnp.isfinite(d0)
+    thr2 = thr if squared_threshold else thr * thr
+    ok = mask1 & (d0 <= thr2) & jnp.isfinite(d0)
     return Tentatives(idx2=idx[:, 0], d1=d0, d2=dists[:, 1],
                       ratio=jnp.sqrt(d0 / jnp.maximum(dists[:, 1], 1e-12)),
                       mask=ok)

@@ -171,16 +171,44 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
     folding/normalization (siftdesc.cpp operator())."""
     specs = tuple(get_spec(s) for s in specs)
     M = caps.max_angles
-    families = sorted({sp.half_sift_like for sp in specs})
+
+    def fam_key(sp):
+        if sp.kind == "binary":
+            return "none"
+        return "half" if sp.half_sift_like else "sift"
+
+    families = sorted({fam_key(sp) for sp in specs})
+
+    def _reproject(xy_f, A_f, s_f, m_f, hinv):
+        lin = hinv[:, :, :2]
+        xy_r = (jnp.einsum("vab,vkb->vka", lin, xy_f)
+                + hinv[:, None, :, 2])
+        A_r = jnp.einsum("vab,vkbc->vkac", lin, A_f)
+        inside = ((xy_r[..., 0] > 0) & (xy_r[..., 0] < w0)
+                  & (xy_r[..., 1] > 0) & (xy_r[..., 1] < h0))
+        half = jnp.ceil(K_SIGMA * s_f / 2.0)
+        tb = jax.vmap(lambda xyv, Av, hv: touches_border(
+            w0, h0, xyv, Av, hv, hv))(xy_r, A_r, half)
+        return xy_r, A_r, m_f & inside & ~tb
 
     def one_family(views, regs_xy, regs_A, regs_s, regs_mask, hinv,
-                   half_sift: bool):
+                   fam: str):
+        if fam == "none":
+            # non-SIFT-like path: detected regions used directly
+            # (imagerepresentation.cpp:1299-1302)
+            xy_f = regs_xy.reshape(V, K, 2)
+            A_f = regs_A.reshape(V, K, 2, 2)
+            s_f = regs_s.reshape(V, K)
+            m_f = regs_mask.reshape(V, K)
+            xy_r, A_r, m_f = _reproject(xy_f, A_f, s_f, m_f, hinv)
+            return xy_f, A_f, s_f, m_f, xy_r, A_r
+
         def ori_one(view, xy, A, s, m):
             return detect_orientations(
                 view, xy, A, s, m,
                 dom_ori.patch_extraction.mr_size,
                 dom_ori.patch_extraction.patch_size, M,
-                dom_ori.threshold, half_sift=half_sift)
+                dom_ori.threshold, half_sift=(fam == "half"))
         angles, amask = jax.vmap(ori_one)(
             views, regs_xy, regs_A, regs_s, regs_mask)
         if dom_ori.max_angles >= 0:
@@ -191,33 +219,23 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
         A_f = Arot.reshape(V, K * M, 2, 2)
         s_f = jnp.repeat(regs_s[:, :, None], M, 2).reshape(V, K * M)
         m_f = amask.reshape(V, K * M)
-
-        # reproject to original frame + boundary filter there
-        lin = hinv[:, :, :2]
-        xy_r = (jnp.einsum("vab,vkb->vka", lin, xy_f)
-                + hinv[:, None, :, 2])
-        A_r = jnp.einsum("vab,vkbc->vkac", lin, A_f)
-        inside = ((xy_r[..., 0] > 0) & (xy_r[..., 0] < w0)
-                  & (xy_r[..., 1] > 0) & (xy_r[..., 1] < h0))
-        half = jnp.ceil(K_SIGMA * s_f / 2.0)
-        tb = jax.vmap(lambda xyv, Av, hv: touches_border(
-            w0, h0, xyv, Av, hv, hv))(xy_r, A_r, half)
-        m_f = m_f & inside & ~tb
+        xy_r, A_r, m_f = _reproject(xy_f, A_f, s_f, m_f, hinv)
         return xy_f, A_f, s_f, m_f, xy_r, A_r
 
     def program(views, regs_xy, regs_A, regs_s, regs_resp, regs_mask,
                 hinv):
         out = {}
         fam_data = {}
-        for half in families:
-            fam_data[half] = one_family(
-                views, regs_xy, regs_A, regs_s, regs_mask, hinv, half)
+        for fam in families:
+            fam_data[fam] = one_family(
+                views, regs_xy, regs_A, regs_s, regs_mask, hinv, fam)
 
-        r_f = jnp.repeat(regs_resp[:, :, None], M, 2).reshape(V, K * M)
-
-        for half in families:
-            xy_f, A_f, s_f, m_f, xy_r, A_r = fam_data[half]
-            fam_specs = [sp for sp in specs if sp.half_sift_like == half]
+        for fam in families:
+            xy_f, A_f, s_f, m_f, xy_r, A_r = fam_data[fam]
+            KM = xy_f.shape[1]
+            r_f = jnp.repeat(regs_resp[:, :, None], KM // K,
+                             2).reshape(V, KM)
+            fam_specs = [sp for sp in specs if fam_key(sp) == fam]
 
             def patches_hist(view, xyv, Av, sv, scale_coef=1.0):
                 p = extract_descriptor_patches(
@@ -228,9 +246,18 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
             base = SIFTDescriptorParams()  # raw histogram params
             need_hist = any(sp.kind == "sift" for sp in fam_specs)
             need_pix = any(sp.kind == "pixels" for sp in fam_specs)
+            need_bin = any(sp.kind == "binary" for sp in fam_specs)
 
             def desc_one_view(view, xyv, Av, sv):
                 res = {}
+                if need_bin:
+                    from mods_tpu.detectors.orb import brief_descriptors
+                    bits = brief_descriptors(view, xyv, Av, sv)
+                    for sp in fam_specs:
+                        if sp.kind == "binary":
+                            res[sp.name] = bits
+                if not (need_hist or need_pix):
+                    return res
                 patches = patches_hist(view, xyv, Av, sv)
                 if need_hist:
                     hist = sift_histograms(patches, base)
@@ -271,8 +298,8 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 D = descs[sp.name].shape[-1]
                 out[sp.name] = dict(
                     desc=descs[sp.name].reshape(-1, D),
-                    xy=fam_data[half][4].reshape(-1, 2),
-                    A=fam_data[half][5].reshape(-1, 2, 2),
+                    xy=xy_r.reshape(-1, 2),
+                    A=A_r.reshape(-1, 2, 2),
                     s=s_f.reshape(-1),
                     response=r_f.reshape(-1),
                     mask=m_f.reshape(-1),
@@ -282,10 +309,29 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
     return jax.jit(program)
 
 
+@functools.lru_cache(maxsize=32)
+def _orb_detect_program(V: int, hc: int, wc: int, caps: CapacityParams):
+    from mods_tpu.detectors.orb import detect_orb
+
+    def program(views, valid_hw):
+        return detect_orb(views, valid_hw, caps)
+    return jax.jit(program)
+
+
 @functools.lru_cache(maxsize=64)
 def _tentative_program(cap: int, D: int, knn: int, contrad: float):
     def program(d1, m1, d2, m2, xy2, ratio_th):
         return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad, knn)
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=64)
+def _distance_program(cap: int, D: int, squared: bool):
+    from mods_tpu.matching.fginn import match_distance
+
+    def program(d1, m1, d2, m2, thr):
+        return match_distance(d1, m1, d2, m2, thr,
+                              squared_threshold=squared)
     return jax.jit(program)
 
 
@@ -362,6 +408,13 @@ class TwoViewMatcher:
                                       cfg.affine, cfg.caps)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw, regn)
+                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+            return regs
+        if det == "ORB":
+            from mods_tpu.detectors.orb import detect_orb
+            prog = _orb_detect_program(V, hc, wc, cfg.caps)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw)
                 regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
             return regs
         if det == "MSER":
@@ -454,20 +507,33 @@ class TwoViewMatcher:
         tent_parts = []
         names = [n for n in stores1 if n in stores2]
         thr_map = dict(zip(it.descriptors, it.fginn_threshold))
+        dist_map = dict(zip(it.descriptors, it.distance_threshold))
         for name in names:
             spec = get_spec(name)
             xy1, A1, s1, d1, m1 = stores1[name].padded(cap, spec.dim)
             xy2, A2, s2, d2, m2 = stores2[name].padded(cap, spec.dim)
             ratio = thr_map.get(name, cfg.match.ratio_threshold)
-            if ratio <= 0:
-                ratio = cfg.match.ratio_threshold
-            prog = _tentative_program(cap, spec.dim, cfg.match.knn,
-                                      cfg.match.contrad_dist)
-            with log.phase("MatchingTime"):
-                t = prog(jnp.asarray(d1), jnp.asarray(m1),
-                         jnp.asarray(d2), jnp.asarray(m2),
-                         jnp.asarray(xy2), jnp.float32(ratio))
-                t = jax.tree.map(np.asarray, t)
+            dist_thr = dist_map.get(name, 0.0)
+            if ratio <= 0 and dist_thr > 0:
+                # absolute-distance matching (binary/ORB path,
+                # correspondencebank.cpp:266-278 threshold selection)
+                prog = _distance_program(cap, spec.dim,
+                                         spec.kind == "binary")
+                with log.phase("MatchingTime"):
+                    t = prog(jnp.asarray(d1), jnp.asarray(m1),
+                             jnp.asarray(d2), jnp.asarray(m2),
+                             jnp.float32(dist_thr))
+                    t = jax.tree.map(np.asarray, t)
+            else:
+                if ratio <= 0:
+                    ratio = cfg.match.ratio_threshold
+                prog = _tentative_program(cap, spec.dim, cfg.match.knn,
+                                          cfg.match.contrad_dist)
+                with log.phase("MatchingTime"):
+                    t = prog(jnp.asarray(d1), jnp.asarray(m1),
+                             jnp.asarray(d2), jnp.asarray(m2),
+                             jnp.asarray(xy2), jnp.float32(ratio))
+                    t = jax.tree.map(np.asarray, t)
             idx2 = t.idx2
             mode = cfg.match.duplicate_mode
             if mode == "fginn":

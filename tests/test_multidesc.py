@@ -58,3 +58,15 @@ def test_pixels_descriptor():
                               fginn_threshold=(0.9,))]
     m = TwoViewMatcher(ladder, _cfg()).match(img1, img2)
     assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
+
+
+def test_orb_detector_and_descriptor():
+    img1 = textured_image(160, 192, seed=13)
+    H = np.array([[1.0, 0.0, 9.0], [0.0, 1.0, -6.0], [0, 0, 1.0]])
+    img2 = warp_np(img1, H, 160, 192)
+    ladder = [IterationParams(detector="ORB", descriptors=("ORB",),
+                              fginn_threshold=(0.0,),
+                              distance_threshold=(60.0,))]
+    m = TwoViewMatcher(ladder, _cfg()).match(img1, img2)
+    assert m.n_tentatives >= 8, m.n_tentatives
+    assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
