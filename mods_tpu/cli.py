@@ -39,7 +39,7 @@ def _build_engine(config_path: str | None, iters_path: str | None,
         steps, min_matches, ladder = ini_mod.parse_iters_file(iters_path)
     use_f = ver_type in ("LORANSACF", "ORSA")
     cfg = replace(cfg, ransac=replace(cfg.ransac, use_f=use_f),
-                  min_matches=min_matches)
+                  min_matches=min_matches, ver_type=ver_type)
     return cfg, ladder
 
 
@@ -52,14 +52,44 @@ def cmd_match(argv: list[str]) -> int:
     ver_type = argv[8] if len(argv) > 8 else "LORANSACH"
     config = argv[9] if len(argv) > 9 else None
     iters = argv[10] if len(argv) > 10 else None
+    gt_h_path = argv[11] if len(argv) > 11 else None
+
+    out1 = argv[2] if len(argv) > 2 else ""
+    out2 = argv[3] if len(argv) > 3 else ""
+    logf = argv[7] if len(argv) > 7 else ""
 
     cfg, ladder = _build_engine(config, iters, ver_type)
+    gt_h = None
+    if gt_h_path:
+        from mods_tpu.verify import load_h_file
+        gt_h = load_h_file(gt_h_path)
     matcher = TwoViewMatcher(ladder, cfg)
-    res = matcher.match(_load_image(img1p), _load_image(img2p))
+    img1, img2 = _load_image(img1p), _load_image(img2p)
+    res = matcher.match(img1, img2, gt_h=gt_h)
     print(f"Matches: {res.n_matches} (tentatives {res.n_tentatives}, "
           f"steps {res.steps_used})")
     write_matches(matchings, res.xy1, res.xy2)
     write_h(matchings + ".H", res.H)
+    # drawn outputs (mods.cpp:480-527) and machine-readable logs
+    if out1 and out1 not in ("0", "none"):
+        from mods_tpu import viz
+        viz.save_image(out1, viz.draw_matches(img1, img2, res.xy1,
+                                              res.xy2))
+    if out2 and out2 not in ("0", "none"):
+        from mods_tpu import viz
+        canvas = (viz.draw_epipolar(img1, img2, res.xy1, res.xy2, res.H)
+                  if ver_type in ("LORANSACF", "ORSA") else
+                  viz.draw_matches_with_error(img1, img2, res.xy1,
+                                              res.xy2, res.H))
+        viz.save_image(out2, canvas)
+    if logf and logf not in ("0", "none"):
+        from mods_tpu.timing import RunLog
+        nt = max(res.n_tentatives, 1)
+        RunLog(tentatives=res.n_tentatives, true_matches=res.n_matches,
+               inlier_ratio=res.n_matches / nt, steps=res.steps_used,
+               total_time=res.log.times["TotalTime"],
+               ver_type=ver_type).write(logf)
+        res.log.write(logf + ".time")
     print(res.log.summary())
     return 0
 
@@ -101,6 +131,74 @@ def cmd_extract(argv: list[str]) -> int:
     return 0
 
 
+def _extract_stores(imgp: str, config, iters):
+    """Shared single-image extraction for the exporter commands."""
+    from mods_tpu.pipeline import TwoViewMatcher
+    from mods_tpu.config import IterationParams
+    from mods_tpu.ops.image import to_gray
+    from mods_tpu.timing import TimeLog
+    import jax.numpy as jnp
+
+    cfg, ladder = _build_engine(config, iters)
+    if ladder is None:
+        ladder = [IterationParams()]
+    matcher = TwoViewMatcher(ladder, cfg)
+    g = np.asarray(to_gray(jnp.asarray(_load_image(imgp))))
+    stores: dict = {}
+    matcher._process_image(g, ladder[0], [], stores, TimeLog())
+    return stores
+
+
+def cmd_export_descriptors(argv: list[str]) -> int:
+    """export_descriptors equivalent: image -> per-descriptor dumps
+    (export_descriptors.cpp; SaveDescriptorsBenchmark,
+    imagerepresentation.cpp:2216)."""
+    from mods_tpu.io.oxford import write_descriptors_benchmark
+
+    imgp, outp = argv[0], argv[1]
+    config = argv[2] if len(argv) > 2 else None
+    iters = argv[3] if len(argv) > 3 else None
+    stores = _extract_stores(imgp, config, iters)
+    for name, store in stores.items():
+        path = outp if len(stores) == 1 else f"{outp}.{name}"
+        write_descriptors_benchmark(path, store.desc)
+        print(f"{name}: {store.count} descriptors -> {path}")
+    return 0
+
+
+def cmd_extract_benchmark(argv: list[str]) -> int:
+    """extract_regions_for_benchmark equivalent: image [+ gt H] ->
+    Oxford-format region file, optionally reprojected into the second
+    image's frame (SynthDetectDescribeKeypointsBench,
+    imagerepresentation.cpp:2306; SaveRegionsBenchmark :2257)."""
+    from mods_tpu.io.oxford import write_oxford
+
+    imgp, outp = argv[0], argv[1]
+    h_path = argv[2] if len(argv) > 2 else None
+    config = argv[3] if len(argv) > 3 else None
+    iters = argv[4] if len(argv) > 4 else None
+    stores = _extract_stores(imgp, config, iters)
+    H = None
+    if h_path and h_path not in ("0", "none", ""):
+        from mods_tpu.verify import load_h_file
+        H = load_h_file(h_path)
+    for name, store in stores.items():
+        xy, A, s = store.xy, store.A, store.s
+        if H is not None:
+            ones = np.ones((len(xy), 1))
+            p = np.concatenate([xy, ones], 1) @ H.T
+            xy = p[:, :2] / p[:, 2:3]
+            # local linearization of H scales the frames
+            lin = (H[:2, :2][None]
+                   - p[:, :2, None] / p[:, 2:3, None] * H[2, :2][None,
+                                                                 None])
+            A = np.einsum("nij,njk->nik", lin / p[:, 2:3, None], A)
+        path = outp if len(stores) == 1 else f"{outp}.{name}"
+        write_oxford(path, xy, A, s, store.desc)
+        print(f"{name}: {store.count} regions -> {path}")
+    return 0
+
+
 def cmd_match_multi(argv: list[str]) -> int:
     """mods_multi equivalent: query vs image list (mods_multi.cpp)."""
     from mods_tpu.pipeline import TwoViewMatcher
@@ -133,6 +231,10 @@ def main() -> int:
         return cmd_extract(argv)
     if cmd == "match_multi":
         return cmd_match_multi(argv)
+    if cmd == "export_descriptors":
+        return cmd_export_descriptors(argv)
+    if cmd == "extract_benchmark":
+        return cmd_extract_benchmark(argv)
     print(__doc__)
     return 1
 

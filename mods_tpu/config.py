@@ -147,6 +147,15 @@ class RansacParams:
 
 
 @dataclass(frozen=True)
+class OrsaParams:
+    """A-contrario verification (reference orsa.cpp; acceptance rule
+    matching.cpp:1035-1040)."""
+    max_log_nfa: float = -2.0
+    batch_hypotheses: int = 512
+    rounds: int = 8
+
+
+@dataclass(frozen=True)
 class ViewParams:
     """One synthetic view: (tilt, phi, zoom) — reference
     ViewSynthParameters (structures.hpp:219-231).  phi in radians;

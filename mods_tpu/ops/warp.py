@@ -70,6 +70,7 @@ def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
     a sample is valid iff floor(x) in [0, W-2] and floor(y) in [0, H-2].
     """
     h, w = img.shape[-2], img.shape[-1]
+    x, y = jnp.broadcast_arrays(x, y)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0

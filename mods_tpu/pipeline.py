@@ -26,8 +26,8 @@ import numpy as np
 from mods_tpu import synthesis
 from mods_tpu.config import (AffineShapeParams, CapacityParams,
                              DominantOrientationParams, IterationParams,
-                             MatchParams, PyramidParams, RansacParams,
-                             SIFTDescriptorParams)
+                             MatchParams, OrsaParams, PyramidParams,
+                             RansacParams, SIFTDescriptorParams)
 from mods_tpu.descriptors.describe import (extract_descriptor_patches,
                                            image_to_patch_scale)
 from mods_tpu.descriptors.orientation import detect_orientations, \
@@ -68,9 +68,13 @@ class EngineConfig:
     sift: SIFTDescriptorParams = SIFTDescriptorParams(root_sift=True)
     match: MatchParams = MatchParams()
     ransac: RansacParams = RansacParams()
+    orsa: OrsaParams = OrsaParams()
     caps: CapacityParams = CapacityParams()
     min_matches: int = 10
     max_steps: int = 7
+    # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
+    # string defers to ransac.use_f for backward compatibility.
+    ver_type: str = ""
 
     def pyramid_for(self, detector: str) -> PyramidParams:
         return {"HessianAffine": self.pyramid,
@@ -336,14 +340,25 @@ def _distance_program(cap: int, D: int, squared: bool):
 
 
 @functools.lru_cache(maxsize=32)
-def _verify_program(cap: int, cfg: EngineConfig):
-    """Combined tentatives -> duplicate filter -> RANSAC -> LAF check."""
+def _verify_program(cap: int, cfg: EngineConfig, w: int = 0, h: int = 0):
+    """Combined tentatives -> duplicate filter -> RANSAC -> LAF check.
+    Verification dispatch mirrors mods.cpp:310-371 (LORANSAC H/F, ORSA)."""
+    ver = cfg.ver_type or ("LORANSACF" if cfg.ransac.use_f else "LORANSACH")
+
     def program(xy1, A1, s1, xy2, A2, s2, prio, mask, key):
         keep = duplicate_filter(xy1, xy2, mask, cfg.match.duplicate_dist,
                                 priority=prio)
         tmask = mask & keep
         n_tent = jnp.sum(tmask.astype(jnp.int32))
-        if cfg.ransac.use_f:
+        if ver == "ORSA":
+            from mods_tpu.ransac.orsa import orsa_f
+            M, inl, n_inl, _nfa = orsa_f(xy1, xy2, tmask, max(w, 1),
+                                         max(h, 1), cfg.orsa, key)
+            lafm = f_laf_check(
+                M, xy1, A1, s1, xy2, A2, s2, inl,
+                cfg.ransac.laf_coef * cfg.ransac.err_threshold,
+                sampson=cfg.ransac.error_type == "sampson")
+        elif ver == "LORANSACF":
             M, inl, n_inl, _ = ransac_f(xy1, xy2, tmask, cfg.ransac, key)
             lafm = f_laf_check(
                 M, xy1, A1, s1, xy2, A2, s2, inl,
@@ -382,10 +397,12 @@ class TwoViewMatcher:
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
         self.key = jax.random.PRNGKey(seed)
+        # keypoint files for the ReadAffs pseudo-detector, per image
+        self.affs_paths: tuple = (None, None)
 
     # -- feature extraction ------------------------------------------------
 
-    def _detect_group(self, views, valid_hw, plans, it, log):
+    def _detect_group(self, views, valid_hw, plans, it, log, img_idx=0):
         """Dispatch detection for one rendered view group."""
         cfg = self.cfg
         V = len(plans)
@@ -417,6 +434,37 @@ class TwoViewMatcher:
                 regs = prog(views, valid_hw)
                 regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
             return regs
+        if det == "ReadAffs":
+            # keypoints ingested from file as a "detector"
+            # (imagerepresentation.cpp:721-746); identity view only
+            from mods_tpu.regions import Regions
+            path = (self.affs_paths[img_idx]
+                    if img_idx < len(self.affs_paths) else None)
+            if not path:
+                raise ValueError("ReadAffs detector needs "
+                                 "TwoViewMatcher.affs_paths set")
+            from mods_tpu.io.oxford import read_kps, read_oxford
+            try:
+                xy, A, s, _ = read_oxford(path)
+            except (ValueError, IndexError):
+                xy, A, s = read_kps(path)
+            cap = cfg.caps.per_view
+            n = min(len(xy), cap)
+            z = np.zeros
+            out = dict(xy=z((V, cap, 2), np.float32),
+                       A=np.tile(np.eye(2, dtype=np.float32),
+                                 (V, cap, 1, 1)),
+                       s=z((V, cap), np.float32),
+                       response=z((V, cap), np.float32),
+                       sub_type=z((V, cap), np.int64),
+                       mask=z((V, cap), bool))
+            iv = next((i for i, p in enumerate(plans) if p.identity), 0)
+            out["xy"][iv, :n] = xy[:n]
+            out["A"][iv, :n] = A[:n]
+            out["s"][iv, :n] = s[:n]
+            out["response"][iv, :n] = 1.0
+            out["mask"][iv, :n] = True
+            return Regions(**{k: jnp.asarray(v) for k, v in out.items()})
         if det == "MSER":
             from mods_tpu.detectors.mser import detect_msers_padded
             from mods_tpu.regions import Regions
@@ -439,7 +487,8 @@ class TwoViewMatcher:
         raise KeyError(f"unknown detector {det!r}")
 
     def _process_image(self, img: np.ndarray, it: IterationParams,
-                       prev_views: list, stores: dict, log: TimeLog):
+                       prev_views: list, stores: dict, log: TimeLog,
+                       img_idx: int = 0):
         cfg = self.cfg
         h, w = img.shape
         views, prev_views = synthesis.expand_views(it, prev_views)
@@ -481,7 +530,8 @@ class TwoViewMatcher:
                 views_arr = render(img_j, jnp.asarray(rot_inv))
                 views_arr.block_until_ready()
 
-            regs = self._detect_group(views_arr, valid_hw, group, it, log)
+            regs = self._detect_group(views_arr, valid_hw, group, it, log,
+                                      img_idx)
 
             dp = _desc_program(
                 V, hc, wc, h, w, regs.capacity, tuple(it.descriptors),
@@ -568,7 +618,28 @@ class TwoViewMatcher:
         comb["mask"] = np.zeros(tcap, bool)
         comb["mask"][:pos] = True
 
-        vp = _verify_program(tcap, cfg)
+        if cfg.ver_type == "GR_TRUTH" and getattr(self, "_gt_h", None) \
+                is not None:
+            # known-homography oracle (mods.cpp:312-335, HMatrixFiltering)
+            from mods_tpu.verify import gt_h_inliers
+            with log.phase("RANSACTime"):
+                keep = np.asarray(duplicate_filter(
+                    jnp.asarray(comb["xy1"]), jnp.asarray(comb["xy2"]),
+                    jnp.asarray(comb["mask"]), cfg.match.duplicate_dist))
+                tmask = comb["mask"] & keep
+                inl = np.asarray(gt_h_inliers(
+                    jnp.asarray(self._gt_h, jnp.float32),
+                    jnp.asarray(comb["xy1"]), jnp.asarray(comb["xy2"]),
+                    jnp.asarray(tmask), cfg.ransac.err_threshold))
+            out = dict(model=np.asarray(self._gt_h, np.float32),
+                       inlier_mask=inl,
+                       n_tent=np.int32(tmask.sum()),
+                       n_inl=np.int32(inl.sum()))
+            out["xy1_all"] = comb["xy1"]
+            out["xy2_all"] = comb["xy2"]
+            return out
+
+        vp = _verify_program(tcap, cfg, *getattr(self, "_wh", (0, 0)))
         self.key, k = jax.random.split(self.key)
         with log.phase("RANSACTime"):
             out = vp(*[jnp.asarray(comb[k2]) for k2 in
@@ -579,11 +650,14 @@ class TwoViewMatcher:
         out["xy2_all"] = comb["xy2"]
         return out
 
-    def match(self, img1, img2) -> MatchResult:
+    def match(self, img1, img2, gt_h=None) -> MatchResult:
         cfg = self.cfg
+        self._gt_h = gt_h
         log = TimeLog()
         g1 = np.asarray(to_gray(jnp.asarray(img1)))
         g2 = np.asarray(to_gray(jnp.asarray(img2)))
+        self._wh = (max(g1.shape[1], g2.shape[1]),
+                    max(g1.shape[0], g2.shape[0]))
         stores1: dict = {}
         stores2: dict = {}
         prev1: list = []
@@ -592,8 +666,8 @@ class TwoViewMatcher:
         steps = 0
         for it in self.ladder[:cfg.max_steps]:
             steps += 1
-            prev1 = self._process_image(g1, it, prev1, stores1, log)
-            prev2 = self._process_image(g2, it, prev2, stores2, log)
+            prev1 = self._process_image(g1, it, prev1, stores1, log, 0)
+            prev2 = self._process_image(g2, it, prev2, stores2, log, 1)
             out = self._match_stores(stores1, stores2, it, log)
             if out is None:
                 continue

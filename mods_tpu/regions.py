@@ -94,6 +94,16 @@ def compact_topk(r: Regions, k: int, by: str = "mask") -> Regions:
     reference's sortKeys, scale-space-detector.hpp:124-127); ``by='mask'``
     keeps original order among valid entries.
     """
+    if k > r.capacity:
+        # pad capacity up to k (e.g. fewer candidates than the budget)
+        axis = r.mask.ndim - 1
+        pad = k - r.capacity
+
+        def padfn(x):
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad)
+            return jnp.pad(x, widths)
+        r = jax.tree.map(padfn, r)
     if by == "response":
         key = jnp.where(r.mask, jnp.abs(r.response), -jnp.inf)
     else:

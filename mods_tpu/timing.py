@@ -49,3 +49,42 @@ class TimeLog:
         for p in PHASES:
             lines.append(f"{p[:-4]}: {t[p]:.3f} ({100.0 * t[p] / total:.1f}%)")
         return "\n".join(lines)
+
+    def write(self, path: str) -> None:
+        """Two-line time log: names then seconds (WriteTimeLog,
+        io_mods.cpp:69-102)."""
+        t = self.times
+        with open(path, "w") as f:
+            f.write(" ".join(p[:-4] for p in PHASES) + "\n")
+            f.write(" ".join(f"{t[p]:.4f}" for p in PHASES) + "\n")
+
+
+@dataclass
+class RunLog:
+    """Per-run quality log — the reference `logs` struct
+    (configuration.hpp:137-203) written one line per run by WriteLog
+    (io_mods.cpp:10-68) "for graphs"."""
+    tentatives: int = 0
+    true_matches: int = 0
+    inlier_ratio: float = 0.0
+    regions1: int = 0
+    regions2: int = 0
+    steps: int = 0
+    total_time: float = 0.0
+    ver_type: str = "LORANSACH"
+    final_step: int = 0
+
+    HEADER = ("Tentatives TrueMatches InlierRatio Regions1 Regions2 "
+              "Steps TotalTime VerType")
+
+    def line(self) -> str:
+        return (f"{self.tentatives} {self.true_matches} "
+                f"{self.inlier_ratio:.4f} {self.regions1} {self.regions2} "
+                f"{self.steps} {self.total_time:.3f} {self.ver_type}")
+
+    def write(self, path: str, append: bool = False) -> None:
+        mode = "a" if append else "w"
+        with open(path, mode) as f:
+            if not append:
+                f.write(self.HEADER + "\n")
+            f.write(self.line() + "\n")
