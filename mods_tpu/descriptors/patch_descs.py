@@ -1,0 +1,289 @@
+"""Patch-functor descriptors: SURF, LIOP, DAISY, SSIM.
+
+The reference computes these on the normalized 41x41 patch through the
+`DescribeRegions` template (synth-detection.hpp:169-255) with per-
+descriptor functors: SURF (opensurf/surf.cpp via
+descriptors/surfdescriptor.hpp), LIOP (vlfeat vl_liopdesc_process via
+matching/liopdesc.hpp), DAISY single-point (libdaisy via
+descriptors/daisydescriptor.hpp:33-50), SSIM self-similarity
+(ssdesc-cpp-1.1.1/ssdesc.cc via descriptors/ssimdescriptor.hpp:80-110).
+
+Here each is a batched (K, P, P) -> (K, D) tensor program: spatial
+poolings are matmuls, neighbor samplings are fixed gathers, orderings are
+vectorized sorts — no per-keypoint loops.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mods_tpu.ops.image import patch_gradient
+
+
+# --------------------------------------------------------------------------
+# SURF (64-d): 4x4 cells x (sum dx, sum |dx|, sum dy, sum |dy|)
+
+@functools.lru_cache(maxsize=8)
+def _cell_weights(P: int, cells: int) -> np.ndarray:
+    """(P, cells) soft assignment of rows/cols to grid cells with a
+    Gaussian window over the whole patch (sigma = 3.3s in SURF; here the
+    patch *is* the measurement region so sigma = P/2 * 0.66)."""
+    W = np.zeros((P, cells), np.float32)
+    bounds = np.linspace(0, P, cells + 1)
+    for i in range(P):
+        c = np.searchsorted(bounds, i + 0.5) - 1
+        W[i, min(max(c, 0), cells - 1)] = 1.0
+    g = np.exp(-0.5 * ((np.arange(P) - P / 2.0) / (0.33 * P)) ** 2)
+    return (W * g[:, None]).astype(np.float32)
+
+
+def surf_descriptor(patches: jax.Array, cells: int = 4) -> jax.Array:
+    """(K, P, P) -> (K, 64) M-SURF-style descriptor, L2-normalized."""
+    P = patches.shape[-1]
+    gx, gy = patch_gradient(patches)
+    W = jnp.asarray(_cell_weights(P, cells))
+    feats = []
+    for f in (gx, jnp.abs(gx), gy, jnp.abs(gy)):
+        feats.append(jnp.einsum("rb,krc,cd->kbd", W, f, W,
+                                preferred_element_type=jnp.float32))
+    v = jnp.stack(feats, -1).reshape(patches.shape[0], -1)
+    n = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
+    return v / jnp.maximum(n, 1e-10)
+
+
+# --------------------------------------------------------------------------
+# LIOP (144-d): local intensity order patterns (vlfeat vl/liop.c behavior)
+
+_LIOP_NEIGHBORS = 4
+_LIOP_BINS = 6
+_PERMS = list(itertools.permutations(range(_LIOP_NEIGHBORS)))
+_PERM_INDEX = {p: i for i, p in enumerate(_PERMS)}
+
+
+@functools.lru_cache(maxsize=4)
+def _liop_tables(P: int, n_neigh: int, radius: float):
+    """Sampling offsets for the neighbor circle + support mask."""
+    ang = 2.0 * np.pi * np.arange(n_neigh) / n_neigh
+    offs = np.stack([radius * np.cos(ang), radius * np.sin(ang)],
+                    -1).astype(np.float32)          # (n, 2) dx, dy
+    yy, xx = np.mgrid[0:P, 0:P].astype(np.float32)
+    c = (P - 1) / 2.0
+    rr = np.hypot(xx - c, yy - c)
+    support = rr <= (c - radius - 1.0)
+    # per-pixel rotation: neighbors are sampled relative to the outward
+    # radial direction so the pattern is rotation-covariant (liop.c)
+    theta = np.arctan2(yy - c, xx - c)
+    return offs, support.astype(np.float32), theta.astype(np.float32)
+
+
+def _rank_index(vals: jax.Array) -> jax.Array:
+    """(..., n) neighbor intensities -> permutation index (0..n!-1) via
+    Lehmer code of the argsort permutation."""
+    n = vals.shape[-1]
+    # rank of each element = number of strictly-smaller elements (+ ties
+    # broken by position, matching a stable sort)
+    less = (vals[..., None, :] < vals[..., :, None])
+    tie = (vals[..., None, :] == vals[..., :, None])
+    pos = jnp.arange(n)
+    tie_break = tie & (pos[None, :] < pos[:, None])
+    rank = jnp.sum(less | tie_break, -1)             # (..., n) ranks
+    # Lehmer code from ranks: L_i = #{j > i : rank_j < rank_i}
+    later_smaller = (rank[..., None, :] < rank[..., :, None]) \
+        & (pos[None, :] > pos[:, None])
+    lehmer = jnp.sum(later_smaller, -1)              # (..., n)
+    fact = jnp.asarray([math.factorial(n - 1 - i) for i in range(n)],
+                       jnp.int32)
+    return jnp.sum(lehmer * fact, -1)                # (...,)
+
+
+def liop_descriptor(patches: jax.Array, radius: float = 6.0,
+                    n_neigh: int = _LIOP_NEIGHBORS,
+                    n_bins: int = _LIOP_BINS) -> jax.Array:
+    """(K, P, P) -> (K, n_bins * n_neigh!) LIOP."""
+    from mods_tpu.ops.warp import bilinear_sample
+    K, P, _ = patches.shape
+    offs, support, theta = _liop_tables(P, n_neigh, radius)
+    offs = jnp.asarray(offs)
+    support = jnp.asarray(support)
+    theta = jnp.asarray(theta)
+    c = (P - 1) / 2.0
+    yy, xx = jnp.mgrid[0:P, 0:P]
+    xx = xx.astype(jnp.float32)
+    yy = yy.astype(jnp.float32)
+
+    # rotated neighbor coordinates per pixel: (n, P, P)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    nx = xx[None] + offs[:, 0, None, None] * ct[None] \
+        - offs[:, 1, None, None] * st[None]
+    ny = yy[None] + offs[:, 0, None, None] * st[None] \
+        + offs[:, 1, None, None] * ct[None]
+
+    def sample_one(patch):
+        return bilinear_sample(patch, nx, ny)        # (n, P, P)
+    neigh = jax.vmap(sample_one)(patches)            # (K, n, P, P)
+    neigh = jnp.moveaxis(neigh, 1, -1)               # (K, P, P, n)
+
+    pidx = _rank_index(neigh)                        # (K, P, P)
+
+    # intensity-order bins of the center pixels over the support region:
+    # quantile thresholds from the sorted supported intensities (liop.c
+    # partitions the region into equal-count groups)
+    big = jnp.float32(1e30)
+    sup = support > 0
+    n_sup = jnp.sum(sup).astype(jnp.int32)
+    flat = jnp.where(sup[None], patches, big).reshape(K, -1)
+    svals = jnp.sort(flat, -1)
+    qpos = (jnp.arange(1, n_bins) * n_sup) // n_bins
+    ths = svals[:, qpos]                             # (K, n_bins-1)
+    binid = jnp.sum(patches[..., None] >= ths[:, None, None, :],
+                    -1)                              # (K, P, P) 0..n_bins-1
+
+    n_perm = math.factorial(n_neigh)
+    dim = n_bins * n_perm
+    cell = binid * n_perm + pidx                     # (K, P, P)
+    # weight: 1 within support (vlfeat default weighting threshold off)
+    onehot = jax.nn.one_hot(cell, dim, dtype=jnp.float32)
+    v = jnp.einsum("khwd,hw->kd", onehot, support)
+    n = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
+    return v / jnp.maximum(n, 1e-10)
+
+
+# --------------------------------------------------------------------------
+# DAISY single-point (200-d): center + 3 rings x 8 points, 8 orientations
+
+@functools.lru_cache(maxsize=4)
+def _daisy_grid(P: int, n_rings: int, n_segs: int):
+    c = (P - 1) / 2.0
+    pts = [(c, c, 0)]
+    for ri in range(1, n_rings + 1):
+        rad = ri * (c * 0.8) / n_rings
+        for si in range(n_segs):
+            a = 2 * np.pi * si / n_segs
+            pts.append((c + rad * np.cos(a), c + rad * np.sin(a), ri))
+    xy = np.asarray([(x, y) for x, y, _ in pts], np.float32)
+    lvl = np.asarray([l for _, _, l in pts], np.int32)
+    return xy, lvl
+
+
+def daisy_descriptor(patches: jax.Array, n_rings: int = 3,
+                     n_segs: int = 8, n_ori: int = 8) -> jax.Array:
+    """(K, P, P) -> (K, (1 + n_rings*n_segs) * n_ori) DAISY at the patch
+    center (libdaisy single-point mode)."""
+    from mods_tpu.ops.gaussian import gaussian_blur
+    from mods_tpu.ops.warp import bilinear_sample
+    K, P, _ = patches.shape
+    gx, gy = patch_gradient(patches)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ori = jnp.arctan2(gy, gx)
+    # 8 positive-clipped orientation maps (daisy layered gradients)
+    angs = jnp.arange(n_ori) * (2 * jnp.pi / n_ori)
+    cos_d = jnp.cos(ori[..., None] - angs)           # (K, P, P, n_ori)
+    layers = mag[..., None] * jnp.maximum(cos_d, 0.0)
+    layers = jnp.moveaxis(layers, -1, 1)             # (K, n_ori, P, P)
+
+    # cumulative smoothing per ring level
+    sig = [1.0, 2.5, 5.0, 7.5][:n_rings + 1]
+    smoothed = [gaussian_blur(layers, sig[0])]
+    for i in range(1, n_rings + 1):
+        inc = math.sqrt(max(sig[i] ** 2 - sig[i - 1] ** 2, 0.25))
+        smoothed.append(gaussian_blur(smoothed[-1], inc))
+    vol = jnp.stack(smoothed, 1)          # (K, n_rings+1, n_ori, P, P)
+
+    xy, lvl = _daisy_grid(P, n_rings, n_segs)
+    xy = jnp.asarray(xy)
+    lvl = jnp.asarray(lvl)
+
+    def sample_one(v):                    # (n_rings+1, n_ori, P, P)
+        vals = jax.vmap(lambda p, l: jax.vmap(
+            lambda m: bilinear_sample(m, p[0], p[1]))(v[l]))(xy, lvl)
+        return vals                        # (n_pts, n_ori)
+    hist = jax.vmap(sample_one)(vol)       # (K, n_pts, n_ori)
+    # per-point L2 normalization (daisy's partial normalization)
+    n = jnp.sqrt(jnp.sum(hist * hist, -1, keepdims=True))
+    hist = hist / jnp.maximum(n, 1e-10)
+    return hist.reshape(K, -1)
+
+
+# --------------------------------------------------------------------------
+# SSIM self-similarity (ssdesc.cc calc_ssdescs_alt semantics)
+
+@functools.lru_cache(maxsize=4)
+def _ssim_bins(P: int, inner: int, n_rad: int, n_ang: int):
+    """Log-polar bin assignment of window offsets -> (P', P') bin ids."""
+    out = P - inner + 1                      # correlation surface size
+    c = (out - 1) / 2.0
+    yy, xx = np.mgrid[0:out, 0:out].astype(np.float32)
+    dx, dy = xx - c, yy - c
+    r = np.hypot(dx, dy)
+    a = np.mod(np.arctan2(dy, dx), 2 * np.pi)
+    rmax = c
+    with np.errstate(divide="ignore"):
+        rbin = np.floor(n_rad * np.log1p(r) / np.log1p(rmax)).astype(int)
+    rbin = np.clip(rbin, 0, n_rad - 1)
+    abin = np.minimum((a * n_ang / (2 * np.pi)).astype(int), n_ang - 1)
+    binid = rbin * n_ang + abin
+    binid[r > rmax] = -1
+    binid[r < 1.0] = -1                      # exclude the trivial center
+    return binid
+
+
+def ssim_descriptor(patches: jax.Array, inner: int = 5, n_rad: int = 4,
+                    n_ang: int = 10) -> jax.Array:
+    """(K, P, P) -> (K, n_rad*n_ang) self-similarity descriptor: SSD
+    correlation surface of the central inner x inner patch against the
+    window, max-pooled into log-polar bins, normalized to [0, 1]."""
+    K, P, _ = patches.shape
+    out = P - inner + 1
+    c0 = (P - inner) // 2
+    center = jax.lax.dynamic_slice(
+        patches, (0, c0, c0), (K, inner, inner))     # (K, in, in)
+
+    # SSD via grouped correlation: ssd = sum(p^2) - 2*corr + sum(c^2)
+    ones = jnp.ones((K, 1, inner, inner), jnp.float32)
+    x = patches[None]                                 # (1, K, P, P)
+    p2 = jax.lax.conv_general_dilated(
+        x * x, ones, (1, 1), "VALID", feature_group_count=K,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+    corr = jax.lax.conv_general_dilated(
+        x, center[:, None], (1, 1), "VALID", feature_group_count=K,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+    c2 = jnp.sum(center * center, (-1, -2))[:, None, None]
+    ssd = p2 - 2.0 * corr + c2                        # (K, out, out)
+
+    # correlation surface: exp(-ssd / varnoise), varnoise from the local
+    # auto-variance (ssdesc.cc uses max(varnoise, local var))
+    varn = jnp.maximum(
+        jnp.mean(ssd, (-1, -2), keepdims=True) * 0.5, 1e-3)
+    sim = jnp.exp(-ssd / varn)
+
+    binid = jnp.asarray(_ssim_bins(P, inner, n_rad, n_ang))
+    dim = n_rad * n_ang
+    masks = jax.nn.one_hot(jnp.maximum(binid, 0), dim,
+                           dtype=jnp.float32) * (binid >= 0)[..., None]
+    # max over each bin (prune_normalise takes the max per bin)
+    v = jnp.max(jnp.where(masks.transpose(2, 0, 1)[None] > 0,
+                          sim[:, None], 0.0), (-1, -2))  # (K, dim)
+    vmin = jnp.min(v, -1, keepdims=True)
+    vmax = jnp.max(v, -1, keepdims=True)
+    return (v - vmin) / jnp.maximum(vmax - vmin, 1e-10)
+
+
+PATCH_FNS = {
+    "SURF": surf_descriptor,
+    "LIOP": liop_descriptor,
+    "DAISY": daisy_descriptor,
+    "SSIM": ssim_descriptor,
+}
+
+PATCH_DIMS = {
+    "SURF": 64,
+    "LIOP": _LIOP_BINS * math.factorial(_LIOP_NEIGHBORS),
+    "DAISY": (1 + 3 * 8) * 8,
+    "SSIM": 4 * 10,
+}

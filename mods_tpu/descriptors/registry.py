@@ -44,6 +44,12 @@ REGISTRY: dict[str, DescriptorSpec] = {
         name="Pixels", kind="pixels",
         sift=SIFTDescriptorParams(), dim=41 * 41),
     "ORB": DescriptorSpec(name="ORB", kind="binary", dim=256),
+    # patch-functor descriptors (descriptors/*.hpp wrappers); dims from
+    # mods_tpu.descriptors.patch_descs.PATCH_DIMS
+    "SURF": DescriptorSpec(name="SURF", kind="patch", dim=64),
+    "LIOP": DescriptorSpec(name="LIOP", kind="patch", dim=144),
+    "DAISY": DescriptorSpec(name="DAISY", kind="patch", dim=200),
+    "SSIM": DescriptorSpec(name="SSIM", kind="patch", dim=40),
 }
 
 

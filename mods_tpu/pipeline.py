@@ -72,6 +72,7 @@ class EngineConfig:
     caps: CapacityParams = CapacityParams()
     min_matches: int = 10
     max_steps: int = 7
+    surf_threshold: float = 0.0004   # OpenSURF `thresh` default
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
@@ -251,6 +252,7 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
             need_hist = any(sp.kind == "sift" for sp in fam_specs)
             need_pix = any(sp.kind == "pixels" for sp in fam_specs)
             need_bin = any(sp.kind == "binary" for sp in fam_specs)
+            need_patch = any(sp.kind == "patch" for sp in fam_specs)
 
             def desc_one_view(view, xyv, Av, sv):
                 res = {}
@@ -260,9 +262,14 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                     for sp in fam_specs:
                         if sp.kind == "binary":
                             res[sp.name] = bits
-                if not (need_hist or need_pix):
+                if not (need_hist or need_pix or need_patch):
                     return res
                 patches = patches_hist(view, xyv, Av, sv)
+                if need_patch:
+                    from mods_tpu.descriptors.patch_descs import PATCH_FNS
+                    for sp in fam_specs:
+                        if sp.kind == "patch":
+                            res[sp.name] = PATCH_FNS[sp.name](patches)
                 if need_hist:
                     hist = sift_histograms(patches, base)
                     for sp in fam_specs:
@@ -310,6 +317,16 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 )
         return out
 
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
+def _surf_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
+                         threshold: float):
+    from mods_tpu.detectors.surf import detect_surf
+
+    def program(views, valid_hw):
+        return detect_surf(views, valid_hw, caps, threshold)
     return jax.jit(program)
 
 
@@ -430,6 +447,13 @@ class TwoViewMatcher:
         if det == "ORB":
             from mods_tpu.detectors.orb import detect_orb
             prog = _orb_detect_program(V, hc, wc, cfg.caps)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw)
+                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+            return regs
+        if det == "SURF":
+            prog = _surf_detect_program(V, hc, wc, cfg.caps,
+                                        cfg.surf_threshold)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
                 regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
