@@ -274,11 +274,46 @@ def ssim_descriptor(patches: jax.Array, inner: int = 5, n_rad: int = 4,
     return (v - vmin) / jnp.maximum(vmax - vmin, 1e-10)
 
 
+# --------------------------------------------------------------------------
+# M-LDB (AKAZE binary descriptor, akaze/src/lib Get_MLDB_Full_Descriptor):
+# block means of (intensity, dx, dy) on 2x2/3x3/4x4 grids, all pairwise
+# comparisons -> 486 bits.
+
+@functools.lru_cache(maxsize=4)
+def _block_means_weights(P: int, grid: int) -> np.ndarray:
+    W = np.zeros((P, grid), np.float32)
+    bounds = np.linspace(0, P, grid + 1)
+    for i in range(P):
+        c = np.searchsorted(bounds, i + 0.5) - 1
+        W[i, min(max(c, 0), grid - 1)] = 1.0
+    return W / np.maximum(W.sum(0, keepdims=True), 1)
+
+
+def mldb_descriptor(patches: jax.Array,
+                    grids: tuple = (2, 3, 4)) -> jax.Array:
+    """(K, P, P) -> (K, 486) 0/1 bits (Hamming distance = squared L2)."""
+    P = patches.shape[-1]
+    gx, gy = patch_gradient(patches)
+    bits = []
+    for g in grids:
+        W = jnp.asarray(_block_means_weights(P, g))
+        for ch in (patches, gx, gy):
+            cells = jnp.einsum("rb,krc,cd->kbd", W, ch, W,
+                               preferred_element_type=jnp.float32)
+            v = cells.reshape(cells.shape[0], -1)        # (K, g*g)
+            n = g * g
+            iu, ju = np.triu_indices(n, 1)
+            bits.append((v[:, iu] > v[:, ju]).astype(jnp.float32))
+    return jnp.concatenate(bits, -1)
+
+
 PATCH_FNS = {
     "SURF": surf_descriptor,
     "LIOP": liop_descriptor,
     "DAISY": daisy_descriptor,
     "SSIM": ssim_descriptor,
+    "KAZE": surf_descriptor,     # M-SURF on the normalized patch
+    "MLDB": mldb_descriptor,
 }
 
 PATCH_DIMS = {
@@ -286,4 +321,6 @@ PATCH_DIMS = {
     "LIOP": _LIOP_BINS * math.factorial(_LIOP_NEIGHBORS),
     "DAISY": (1 + 3 * 8) * 8,
     "SSIM": 4 * 10,
+    "KAZE": 64,
+    "MLDB": sum(3 * (g * g) * (g * g - 1) // 2 for g in (2, 3, 4)),
 }

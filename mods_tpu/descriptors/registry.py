@@ -50,6 +50,8 @@ REGISTRY: dict[str, DescriptorSpec] = {
     "LIOP": DescriptorSpec(name="LIOP", kind="patch", dim=144),
     "DAISY": DescriptorSpec(name="DAISY", kind="patch", dim=200),
     "SSIM": DescriptorSpec(name="SSIM", kind="patch", dim=40),
+    "KAZE": DescriptorSpec(name="KAZE", kind="patch", dim=64),
+    "MLDB": DescriptorSpec(name="MLDB", kind="patch", dim=486),
 }
 
 

@@ -44,6 +44,8 @@ def half_image(img: jax.Array) -> jax.Array:
     Works on (..., H, W); H and W must be even.
     """
     h, w = img.shape[-2], img.shape[-1]
+    if (h % 2) or (w % 2):              # crop odd tail (cv halfImage)
+        img = img[..., :h - (h % 2), :w - (w % 2)]
     x = img.reshape(img.shape[:-2] + (h // 2, 2, w // 2, 2))
     return x.mean(axis=(-3, -1))
 

@@ -73,6 +73,7 @@ class EngineConfig:
     min_matches: int = 10
     max_steps: int = 7
     surf_threshold: float = 0.0004   # OpenSURF `thresh` default
+    kaze_threshold: float = 0.001    # AKAZE `dthreshold` default
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
@@ -331,6 +332,16 @@ def _surf_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
 
 
 @functools.lru_cache(maxsize=32)
+def _kaze_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
+                         threshold: float):
+    from mods_tpu.detectors.kaze import detect_kaze
+
+    def program(views, valid_hw):
+        return detect_kaze(views, valid_hw, caps, threshold)
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
 def _orb_detect_program(V: int, hc: int, wc: int, caps: CapacityParams):
     from mods_tpu.detectors.orb import detect_orb
 
@@ -454,6 +465,13 @@ class TwoViewMatcher:
         if det == "SURF":
             prog = _surf_detect_program(V, hc, wc, cfg.caps,
                                         cfg.surf_threshold)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw)
+                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+            return regs
+        if det == "KAZE":
+            prog = _kaze_detect_program(V, hc, wc, cfg.caps,
+                                        cfg.kaze_threshold)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
                 regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
