@@ -307,6 +307,89 @@ def mldb_descriptor(patches: jax.Array,
     return jnp.concatenate(bits, -1)
 
 
+# --------------------------------------------------------------------------
+# FREAK / BRISK binary pattern descriptors.
+#
+# The reference wraps the OpenCV extractors on the normalized patch
+# (descriptors/freakdescriptor.hpp, briskdescriptor.hpp).  Here the
+# retinal / concentric sampling patterns are built deterministically and
+# receptive-field means are Gaussian-weighted patch samples; the pair
+# lists are deterministic (coarse-to-fine for FREAK, short-distance for
+# BRISK) instead of OpenCV's learned tables — both images use the same
+# pattern so matching behaves identically.
+
+@functools.lru_cache(maxsize=2)
+def _freak_pattern(P: int):
+    """43 receptive fields: center + 6 rings of 7, radius and field size
+    shrinking toward the center (retinal layout)."""
+    pts = [(0.0, 0.0, 0.8)]
+    n_rings = 6
+    for ri in range(n_rings):
+        rad = (P / 2.0 - 2.0) * (0.9 ** ri) * (ri + 2) / (n_rings + 1)
+        sig = max(0.6, rad * 0.35)
+        for k in range(7):
+            a = 2 * np.pi * k / 7 + (np.pi / 7) * (ri % 2)
+            pts.append((rad * np.cos(a), rad * np.sin(a), sig))
+    arr = np.asarray(pts, np.float32)
+    # pairs: all C(43,2) sorted by field distance descending, top 512
+    n = len(arr)
+    iu, ju = np.triu_indices(n, 1)
+    d = np.hypot(arr[iu, 0] - arr[ju, 0], arr[iu, 1] - arr[ju, 1])
+    order = np.argsort(-d)[:512]
+    return arr, iu[order].astype(np.int32), ju[order].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=2)
+def _brisk_pattern(P: int):
+    """BRISK concentric pattern: center + rings of (10, 14, 15, 20)
+    points; short-distance pairs -> 512 bits."""
+    pts = [(0.0, 0.0, 0.8)]
+    ring_n = (10, 14, 15, 20)
+    for ri, n_k in enumerate(ring_n):
+        rad = (P / 2.0 - 2.0) * (ri + 1) / (len(ring_n) + 0.5)
+        sig = max(0.6, rad * 0.25)
+        for k in range(n_k):
+            a = 2 * np.pi * k / n_k
+            pts.append((rad * np.cos(a), rad * np.sin(a), sig))
+    arr = np.asarray(pts, np.float32)
+    n = len(arr)
+    iu, ju = np.triu_indices(n, 1)
+    d = np.hypot(arr[iu, 0] - arr[ju, 0], arr[iu, 1] - arr[ju, 1])
+    order = np.argsort(d)[:512]              # short-distance pairs
+    return arr, iu[order].astype(np.int32), ju[order].astype(np.int32)
+
+
+def _pattern_bits(patches: jax.Array, pattern) -> jax.Array:
+    """Sample receptive-field means and compare pairs -> 0/1 bits."""
+    from mods_tpu.ops.warp import bilinear_sample
+    arr, pi, pj = pattern
+    P = patches.shape[-1]
+    c = (P - 1) / 2.0
+    # receptive field mean ~ average of 5 samples (center + 4 offsets at
+    # sigma) — a separable approximation of the Gaussian field
+    offs = np.asarray([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)],
+                      np.float32)
+    xs = c + arr[None, :, 0] + offs[:, None, 0] * arr[None, :, 2]
+    ys = c + arr[None, :, 1] + offs[:, None, 1] * arr[None, :, 2]
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+
+    def one(patch):
+        v = bilinear_sample(patch, xs, ys)    # (5, n_pts)
+        return jnp.mean(v, 0)
+    means = jax.vmap(one)(patches)            # (K, n_pts)
+    return (means[:, jnp.asarray(pi)]
+            < means[:, jnp.asarray(pj)]).astype(jnp.float32)
+
+
+def freak_descriptor(patches: jax.Array) -> jax.Array:
+    return _pattern_bits(patches, _freak_pattern(patches.shape[-1]))
+
+
+def brisk_descriptor(patches: jax.Array) -> jax.Array:
+    return _pattern_bits(patches, _brisk_pattern(patches.shape[-1]))
+
+
 PATCH_FNS = {
     "SURF": surf_descriptor,
     "LIOP": liop_descriptor,
@@ -314,6 +397,8 @@ PATCH_FNS = {
     "SSIM": ssim_descriptor,
     "KAZE": surf_descriptor,     # M-SURF on the normalized patch
     "MLDB": mldb_descriptor,
+    "FREAK": freak_descriptor,
+    "BRISK": brisk_descriptor,
 }
 
 PATCH_DIMS = {
@@ -323,4 +408,6 @@ PATCH_DIMS = {
     "SSIM": 4 * 10,
     "KAZE": 64,
     "MLDB": sum(3 * (g * g) * (g * g - 1) // 2 for g in (2, 3, 4)),
+    "FREAK": 512,
+    "BRISK": 512,
 }

@@ -52,6 +52,8 @@ REGISTRY: dict[str, DescriptorSpec] = {
     "SSIM": DescriptorSpec(name="SSIM", kind="patch", dim=40),
     "KAZE": DescriptorSpec(name="KAZE", kind="patch", dim=64),
     "MLDB": DescriptorSpec(name="MLDB", kind="patch", dim=486),
+    "FREAK": DescriptorSpec(name="FREAK", kind="patch", dim=512),
+    "BRISK": DescriptorSpec(name="BRISK", kind="patch", dim=512),
 }
 
 

@@ -342,6 +342,21 @@ def _kaze_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
 
 
 @functools.lru_cache(maxsize=32)
+def _corner_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
+                           det: str):
+    from mods_tpu.detectors.corners import detect_fast, detect_star
+    from mods_tpu.detectors.orb import detect_orb
+
+    def program(views, valid_hw):
+        if det == "STAR":
+            return detect_star(views, valid_hw, caps)
+        if det == "BRISK":      # multi-scale FAST pyramid
+            return detect_orb(views, valid_hw, caps)
+        return detect_fast(views, valid_hw, caps)
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
 def _orb_detect_program(V: int, hc: int, wc: int, caps: CapacityParams):
     from mods_tpu.detectors.orb import detect_orb
 
@@ -472,6 +487,15 @@ class TwoViewMatcher:
         if det == "KAZE":
             prog = _kaze_detect_program(V, hc, wc, cfg.caps,
                                         cfg.kaze_threshold)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw)
+                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+            return regs
+        if det in ("FAST", "STAR", "BRISK"):
+            # BRISK's AGAST pyramid maps to multi-scale FAST == ORB's
+            # detector without orientation; keep FAST single-scale and
+            # STAR center-surround (imagerepresentation.cpp:1077-1224)
+            prog = _corner_detect_program(V, hc, wc, cfg.caps, det)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
                 regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
