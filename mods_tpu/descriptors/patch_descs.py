@@ -308,6 +308,65 @@ def mldb_descriptor(patches: jax.Array,
 
 
 # --------------------------------------------------------------------------
+# MROGH (mrogh/ in the reference, descriptors/mroghdesc.hpp): multi-
+# support-region rotation-invariant order histograms.  Per support
+# region: gradients projected onto the local radial/tangential frame
+# (rotation-invariant), pixels partitioned into K groups by intensity
+# order, 8-bin orientation histogram per group.  Support regions here
+# are nested crops of the normalized patch (the reference samples
+# multiple support radii around the keypoint).
+
+def _mrogh_one_support(patch: jax.Array, n_groups: int,
+                       n_ori: int) -> jax.Array:
+    K, P, _ = patch.shape
+    gx, gy = patch_gradient(patch)
+    c = (P - 1) / 2.0
+    yy, xx = jnp.mgrid[0:P, 0:P]
+    dx = xx.astype(jnp.float32) - c
+    dy = yy.astype(jnp.float32) - c
+    rr = jnp.sqrt(dx * dx + dy * dy)
+    inside = rr <= c
+    ur_x = dx / jnp.maximum(rr, 1e-6)     # radial unit vector
+    ur_y = dy / jnp.maximum(rr, 1e-6)
+    # gradient in the local polar frame: (radial, tangential)
+    gr = gx * ur_x[None] + gy * ur_y[None]
+    gt = -gx * ur_y[None] + gy * ur_x[None]
+    mag = jnp.sqrt(gr * gr + gt * gt)
+    ang = jnp.arctan2(gt, gr)             # rotation-invariant angle
+    o = (ang + jnp.pi) * n_ori / (2 * jnp.pi)
+    ob = jnp.clip(o.astype(jnp.int32), 0, n_ori - 1)
+
+    # intensity-order groups over the disc (equal-count quantiles)
+    big = jnp.float32(1e30)
+    flat = jnp.where(inside[None], patch, big).reshape(K, -1)
+    svals = jnp.sort(flat, -1)
+    n_in = jnp.sum(inside).astype(jnp.int32)
+    qpos = (jnp.arange(1, n_groups) * n_in) // n_groups
+    ths = svals[:, qpos]                                # (K, g-1)
+    gid = jnp.sum(patch[..., None] >= ths[:, None, None, :], -1)
+
+    cell = gid * n_ori + ob                             # (K, P, P)
+    onehot = jax.nn.one_hot(cell, n_groups * n_ori, dtype=jnp.float32)
+    w = (mag * inside[None])[..., None]
+    return jnp.sum(onehot * w, axis=(1, 2))             # (K, g*n_ori)
+
+
+def mrogh_descriptor(patches: jax.Array, n_groups: int = 6,
+                     n_ori: int = 8,
+                     supports: tuple = (41, 31, 21)) -> jax.Array:
+    """(K, P, P) -> (K, len(supports)*n_groups*n_ori) MROGH."""
+    K, P, _ = patches.shape
+    outs = []
+    for sup in supports:
+        off = (P - sup) // 2
+        sub = jax.lax.dynamic_slice(patches, (0, off, off), (K, sup, sup))
+        outs.append(_mrogh_one_support(sub, n_groups, n_ori))
+    v = jnp.concatenate(outs, -1)
+    n = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
+    return v / jnp.maximum(n, 1e-10)
+
+
+# --------------------------------------------------------------------------
 # FREAK / BRISK binary pattern descriptors.
 #
 # The reference wraps the OpenCV extractors on the normalized patch
@@ -399,6 +458,7 @@ PATCH_FNS = {
     "MLDB": mldb_descriptor,
     "FREAK": freak_descriptor,
     "BRISK": brisk_descriptor,
+    "MROGH": mrogh_descriptor,
 }
 
 PATCH_DIMS = {
@@ -410,4 +470,5 @@ PATCH_DIMS = {
     "MLDB": sum(3 * (g * g) * (g * g - 1) // 2 for g in (2, 3, 4)),
     "FREAK": 512,
     "BRISK": 512,
+    "MROGH": 3 * 6 * 8,
 }

@@ -54,6 +54,7 @@ REGISTRY: dict[str, DescriptorSpec] = {
     "MLDB": DescriptorSpec(name="MLDB", kind="patch", dim=486),
     "FREAK": DescriptorSpec(name="FREAK", kind="patch", dim=512),
     "BRISK": DescriptorSpec(name="BRISK", kind="patch", dim=512),
+    "MROGH": DescriptorSpec(name="MROGH", kind="patch", dim=144),
 }
 
 

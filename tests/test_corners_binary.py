@@ -88,3 +88,25 @@ def test_binary_patch_descs_match_under_shift():
         ham = (d1[:, None] != d2[None]).sum(-1)
         correct = (ham.argmin(1) == np.arange(K)).mean()
         assert correct >= 0.9, fn.__name__
+
+
+def test_mrogh_descriptor():
+    from scipy import ndimage
+    from mods_tpu.descriptors.patch_descs import (PATCH_DIMS,
+                                                  mrogh_descriptor)
+    rng = np.random.default_rng(6)
+    K = 10
+    base = np.stack([ndimage.gaussian_filter(
+        rng.uniform(0, 255, (41, 41)), 1.5) for _ in range(K)]).astype(
+        np.float32)
+    d = np.asarray(jax.jit(mrogh_descriptor)(jnp.asarray(base)))
+    assert d.shape == (K, PATCH_DIMS["MROGH"])
+    # rotation invariance (radial-frame gradients + intensity order)
+    rot = np.stack([ndimage.rotate(b, 90) for b in base])
+    d2 = np.asarray(mrogh_descriptor(jnp.asarray(rot)))
+    cos = (d * d2).sum(1) / np.maximum(
+        np.linalg.norm(d, axis=1) * np.linalg.norm(d2, axis=1), 1e-9)
+    assert cos.mean() > 0.85
+    # NN matching under rotation
+    dist = ((d[:, None] - d2[None]) ** 2).sum(-1)
+    assert (dist.argmin(1) == np.arange(K)).mean() >= 0.9
