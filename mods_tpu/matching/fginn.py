@@ -84,14 +84,21 @@ def match_fginn(desc1: jax.Array, mask1: jax.Array, desc2: jax.Array,
     geo = jnp.sum(dxy * dxy, axis=-1)          # (N1, k)
     contra = geo > (contrad_dist * contrad_dist)
     contra = contra.at[:, 0].set(False)
+    # reference scan (matching.cpp:431-458): the ratio check at index j
+    # runs BEFORE the contradiction break at the same j, and when no
+    # contradictor exists among the nn neighbors the scan falls through
+    # to j = nn-1 — so the effective "second" is the first contradictor
+    # if any, else the last retrieved neighbor.
     any_contra = jnp.any(contra, axis=-1)
-    jstar = jnp.argmax(contra, axis=-1)        # first contradictor
+    last_finite = jnp.maximum(
+        jnp.sum(jnp.isfinite(dists), axis=-1) - 1, 1)
+    jstar = jnp.where(any_contra, jnp.argmax(contra, axis=-1), last_finite)
     d0 = dists[:, 0]
     dj = jnp.take_along_axis(dists, jstar[:, None], axis=-1)[:, 0]
     ratio_sq = d0 / jnp.where(dj > 0, dj, jnp.inf)
     thr = jnp.asarray(ratio_threshold, jnp.float32)
-    ok = (mask1 & any_contra & (ratio_sq <= thr * thr)
-          & jnp.isfinite(d0))
+    ok = (mask1 & (ratio_sq <= thr * thr) & jnp.isfinite(d0)
+          & jnp.isfinite(dj))
     return Tentatives(
         idx2=idx[:, 0], d1=d0, d2=dj,
         ratio=jnp.sqrt(jnp.where(ratio_sq > 0, ratio_sq, 0.0)),
