@@ -74,6 +74,7 @@ class EngineConfig:
     max_steps: int = 7
     surf_threshold: float = 0.0004   # OpenSURF `thresh` default
     kaze_threshold: float = 0.001    # AKAZE `dthreshold` default
+    tilde_filters: str = ""          # path to a TILDE filter file
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
@@ -341,6 +342,19 @@ def _kaze_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
     return jax.jit(program)
 
 
+@functools.lru_cache(maxsize=8)
+def _tilde_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
+                          filters_path: str):
+    from mods_tpu.detectors.tilde import (detect_tilde, load_tilde_filters,
+                                          procedural_filters)
+    filters = (load_tilde_filters(filters_path)[:2] if filters_path
+               else procedural_filters())
+
+    def program(views, valid_hw):
+        return detect_tilde(views, valid_hw, caps, filters)
+    return jax.jit(program)
+
+
 @functools.lru_cache(maxsize=32)
 def _corner_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
                            det: str):
@@ -487,6 +501,13 @@ class TwoViewMatcher:
         if det == "KAZE":
             prog = _kaze_detect_program(V, hc, wc, cfg.caps,
                                         cfg.kaze_threshold)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw)
+                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+            return regs
+        if det == "TILDE":
+            prog = _tilde_detect_program(V, hc, wc, cfg.caps,
+                                         cfg.tilde_filters)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
                 regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
