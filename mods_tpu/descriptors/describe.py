@@ -44,6 +44,22 @@ def blur_patches(patches: jax.Array, sigma: float) -> jax.Array:
     return out
 
 
+def _resample_matrix(P: int, SP: int):
+    """(P, SP) bilinear row-interpolation matrix for the fixed resample
+    grid c_i = (i - P//2) * SP/P + SP//2 — the constant-stride subsample
+    of the oversampled patch.  Static (numpy) so it folds into the blur
+    band matrix at trace time."""
+    import numpy as np
+    half = P >> 1
+    c = (np.arange(P) - half) * (SP / P) + (SP >> 1)
+    i0 = np.clip(np.floor(c).astype(np.int64), 0, SP - 2)
+    w = (c - i0).astype(np.float32)
+    R = np.zeros((P, SP), np.float32)
+    R[np.arange(P), i0] = 1.0 - w
+    R[np.arange(P), i0 + 1] = w
+    return R
+
+
 def extract_descriptor_patches(img: jax.Array, xy: jax.Array, A: jax.Array,
                                s: jax.Array, mr_size: float,
                                patch_size: int,
@@ -53,12 +69,21 @@ def extract_descriptor_patches(img: jax.Array, xy: jax.Array, A: jax.Array,
     SP = 2 * P + 1
     t = image_to_patch_scale(s, mr_size, P)          # (K,)
 
-    # AA path: oversampled native patch -> fixed blur -> fixed resample
+    # AA path: oversampled native patch -> fixed blur -> fixed resample.
+    # Blur (band matrix) and bilinear resample are both separable linear
+    # maps on the fixed SP grid, so they fold into ONE (P, SP) matrix and
+    # the whole AA step is two batched MXU matmuls — no per-patch gather.
     step = (t * P / SP)[:, None, None]
     over = extract_patches(img, xy, A * step, SP)    # (K, SP, SP)
-    over = blur_patches(over, 1.5 * SP / P)
-    g = patch_grid(P) * (SP / P) + (SP >> 1)         # fixed coords in over
-    aa = jax.vmap(lambda o: bilinear_sample(o, g[..., 0], g[..., 1]))(over)
+    from mods_tpu.ops.gaussian import blur_band_matrix
+    import numpy as np
+    M2 = jnp.asarray(
+        _resample_matrix(P, SP) @ np.asarray(
+            blur_band_matrix(SP, 1.5 * SP / P), np.float32))  # (P, SP)
+    aa = jnp.einsum("ps,ksq->kpq", M2, over,
+                    preferred_element_type=jnp.float32)
+    aa = jnp.einsum("kpq,rq->kpr", aa, M2,
+                    preferred_element_type=jnp.float32)
 
     # direct path for heavy oversampling (t <= 0.4)
     direct = extract_patches(img, xy, A * t[:, None, None], P)

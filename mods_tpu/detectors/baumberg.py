@@ -62,7 +62,7 @@ def _sample_patches_level(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
                           A: jax.Array, window: int) -> jax.Array:
     """Bilinear-sample (K, W, W) patches from a (L+2, H, W) level stack,
     each keypoint from its own level.  A is the full sampling matrix."""
-    from mods_tpu.ops.warp import _bilinear_combine, gather_2x2_level
+    from mods_tpu.ops.warp import _bilinear_combine4, gather_4plane_level
     g = patch_grid(window)                                   # (P, P, 2)
     coords = jnp.einsum("kab,ijb->kija", A, g) + xy[:, None, None, :]
     x = coords[..., 0]
@@ -71,9 +71,9 @@ def _sample_patches_level(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
-    block = gather_2x2_level(blurs, lvl[:, None, None],
-                             y0.astype(jnp.int32), x0.astype(jnp.int32))
-    return _bilinear_combine(block, wx, wy)
+    planes = gather_4plane_level(blurs, lvl[:, None, None],
+                                 y0.astype(jnp.int32), x0.astype(jnp.int32))
+    return _bilinear_combine4(*planes, wx, wy)
 
 
 def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,

@@ -20,45 +20,48 @@ import jax
 import jax.numpy as jnp
 
 
-def gather_2x2(img: jax.Array, y0: jax.Array, x0: jax.Array) -> jax.Array:
-    """Gather 2x2 pixel blocks from a (H, W) image at int (y0, x0).
+def gather_4plane(img: jax.Array, y0: jax.Array, x0: jax.Array):
+    """Gather the 2x2 neighborhood at int (y0, x0) as FOUR separate
+    planes (p00, p01, p10, p11), each shaped like y0.
 
-    One gather op with contiguous (2, 2) slices — far friendlier to the
-    TPU memory system than four scalar gathers (the dominant cost of all
-    patch sampling).  Out-of-range starts are clipped.
-    Returns (..., 2, 2) for any-index shape.
+    Four flat 1-D gathers from the row-major flattened image.  A
+    block-slice gather producing a (..., 2, 2) result tiles as T(2,128)
+    on TPU — the trailing 2 pads to 128 lanes, a 64x memory blowup that
+    OOMs at bench shapes; flat (N,) gathers pad only to the lane
+    boundary.  Out-of-range starts are clipped.
     """
-    shp = y0.shape
-    starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    out = jax.lax.gather(
-        img, starts, dn, slice_sizes=(2, 2),
-        mode=jax.lax.GatherScatterMode.CLIP)
-    return out.reshape(shp + (2, 2))
+    h, w = img.shape
+    flat = img.reshape(-1)
+    y0 = jnp.clip(y0, 0, h - 2)
+    x0 = jnp.clip(x0, 0, w - 2)
+    base = y0 * w + x0
+    p00 = jnp.take(flat, base, mode="clip")
+    p01 = jnp.take(flat, base + 1, mode="clip")
+    p10 = jnp.take(flat, base + w, mode="clip")
+    p11 = jnp.take(flat, base + w + 1, mode="clip")
+    return p00, p01, p10, p11
 
 
-def gather_2x2_level(vol: jax.Array, lvl: jax.Array, y0: jax.Array,
-                     x0: jax.Array) -> jax.Array:
-    """As gather_2x2 but from a (L, H, W) stack with per-index level."""
-    shp = y0.shape
-    starts = jnp.stack([
-        jnp.broadcast_to(lvl, shp).reshape(-1),
-        y0.reshape(-1), x0.reshape(-1)], axis=-1)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2))
-    out = jax.lax.gather(
-        vol, starts, dn, slice_sizes=(1, 2, 2),
-        mode=jax.lax.GatherScatterMode.CLIP)
-    return out.reshape(shp + (2, 2))
+def gather_4plane_level(vol: jax.Array, lvl: jax.Array, y0: jax.Array,
+                        x0: jax.Array):
+    """As gather_4plane but from a (L, H, W) stack with per-index level."""
+    l, h, w = vol.shape
+    flat = vol.reshape(-1)
+    lvl = jnp.broadcast_to(lvl, y0.shape)
+    y0 = jnp.clip(y0, 0, h - 2)
+    x0 = jnp.clip(x0, 0, w - 2)
+    base = (jnp.clip(lvl, 0, l - 1) * h + y0) * w + x0
+    p00 = jnp.take(flat, base, mode="clip")
+    p01 = jnp.take(flat, base + 1, mode="clip")
+    p10 = jnp.take(flat, base + w, mode="clip")
+    p11 = jnp.take(flat, base + w + 1, mode="clip")
+    return p00, p01, p10, p11
 
 
-def _bilinear_combine(block: jax.Array, wx: jax.Array,
-                      wy: jax.Array) -> jax.Array:
-    top = block[..., 0, 0] + wx * (block[..., 0, 1] - block[..., 0, 0])
-    bot = block[..., 1, 0] + wx * (block[..., 1, 1] - block[..., 1, 0])
+def _bilinear_combine4(p00, p01, p10, p11, wx: jax.Array,
+                       wy: jax.Array) -> jax.Array:
+    top = p00 + wx * (p01 - p00)
+    bot = p10 + wx * (p11 - p10)
     return top + wy * (bot - top)
 
 
@@ -78,8 +81,8 @@ def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     valid = (x0i >= 0) & (y0i >= 0) & (x0i < w - 1) & (y0i < h - 1)
-    block = gather_2x2(img, y0i, x0i)
-    val = _bilinear_combine(block, wx, wy)
+    p00, p01, p10, p11 = gather_4plane(img, y0i, x0i)
+    val = _bilinear_combine4(p00, p01, p10, p11, wx, wy)
     return jnp.where(valid, val, fill)
 
 
