@@ -94,6 +94,54 @@ def extract_descriptor_patches(img: jax.Array, xy: jax.Array, A: jax.Array,
     return patches
 
 
+DESC_MIP_LEVELS = 4
+
+
+def extract_descriptor_patches_mip(mips: jax.Array, valid_hw: jax.Array,
+                                   xy: jax.Array, A: jax.Array,
+                                   s: jax.Array, mr_size: float,
+                                   patch_size: int,
+                                   photo_norm: bool = False) -> jax.Array:
+    """Mip-level windowed patch extraction (the fast TPU path).
+
+    Same AA semantics as extract_descriptor_patches, restructured: per
+    keypoint pick the mip level that bounds the sampling step, sample the
+    P x P patch directly, then apply the reference's 1.5-step Gaussian
+    (constant in patch px) as a band-matrix matmul.  Level >= 1 sources
+    already carry ~MIP_SIGMA of prefilter, so their post-blur is reduced
+    to keep the total near 1.5 sampling steps.  t <= 0.4 keeps the
+    reference's direct unblurred path (synth-detection.hpp:196-200).
+
+    mips/valid_hw from mods_tpu.ops.sampler.mip_stack(img, DESC_MIP_LEVELS).
+    """
+    from mods_tpu.ops.gaussian import blur_band_matrix
+    from mods_tpu.ops.sampler import sample_affine_patches, select_level
+    import numpy as np
+    P = patch_size
+    t = image_to_patch_scale(s, mr_size, P)          # (K,)
+    As = A * t[:, None, None]
+    lvl, scale = select_level(As, P, mips.shape[0])
+    raw = sample_affine_patches(
+        mips, lvl, xy / scale[:, None], As / scale[:, None, None],
+        P, valid_hw)
+
+    B15 = jnp.asarray(np.asarray(blur_band_matrix(P, 1.5), np.float32))
+    B09 = jnp.asarray(np.asarray(blur_band_matrix(P, 0.9), np.float32))
+
+    def band(Bm, x):
+        y = jnp.einsum("ij,kjc->kic", Bm, x,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("kic,jc->kij", y, Bm,
+                          preferred_element_type=jnp.float32)
+
+    aa = jnp.where((lvl == 0)[:, None, None], band(B15, raw),
+                   band(B09, raw))
+    patches = jnp.where((t > 0.4)[:, None, None], aa, raw)
+    if photo_norm:
+        patches = photometric_normalize(patches)
+    return patches
+
+
 def photometric_normalize(patches: jax.Array) -> jax.Array:
     """reference photometricallyNormalize (helpers.cpp:712-760): shift to
     mean 128, scale to std 50, clip 0..255, masked by the circular

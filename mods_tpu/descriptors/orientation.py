@@ -98,7 +98,9 @@ def rotate_shapes(A: jax.Array, angles: jax.Array) -> jax.Array:
 def detect_orientations(img: jax.Array, xy: jax.Array, A: jax.Array,
                         s: jax.Array, valid: jax.Array, mr_size: float,
                         patch_size: int, max_angles: int, th: float,
-                        half_sift: bool = False, k_sigma: float = 6.0 * 1.7320508):
+                        half_sift: bool = False,
+                        k_sigma: float = 6.0 * 1.7320508,
+                        mip_src=None):
     """Per-region dominant angles from a view image.
 
     img: (H, W); regions (K,) in view coords.  Returns
@@ -106,6 +108,10 @@ def detect_orientations(img: jax.Array, xy: jax.Array, A: jax.Array,
     the image border are dropped entirely (synth-detection.cpp:873-886).
     The patch sampling step is patchImageSize/patchSize * s with
     patchImageSize = 2*int(mr_size)+1 (synth-detection.cpp:851-856).
+
+    ``mip_src``: optional (mips, valid_hw) from sampler.mip_stack(img, n)
+    — the fast windowed sampling path, shareable with descriptor patch
+    extraction.  When absent the direct gather path is used.
     """
     h, w = img.shape
     patch_image_size = 2 * int(mr_size) + 1
@@ -115,7 +121,16 @@ def detect_orientations(img: jax.Array, xy: jax.Array, A: jax.Array,
                          jnp.ceil(k_sigma * s / 2.0))
     ok = valid & ~bad
     curr = img_to_patch * s
-    patches = extract_patches(img, xy, A * curr[:, None, None], patch_size)
+    As = A * curr[:, None, None]
+    if mip_src is not None:
+        from mods_tpu.ops.sampler import sample_affine_patches, select_level
+        mips, valid_hw = mip_src
+        lvl, scale = select_level(As, patch_size, mips.shape[0])
+        patches = sample_affine_patches(
+            mips, lvl, xy / scale[:, None], As / scale[:, None, None],
+            patch_size, valid_hw)
+    else:
+        patches = extract_patches(img, xy, As, patch_size)
     hist = smooth_circular(orientation_histograms(patches))
     angles, pmask = find_peaks(hist, max_angles, th, half_sift)
     return angles, pmask & ok[:, None]

@@ -76,6 +76,37 @@ def _sample_patches_level(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
     return _bilinear_combine4(*planes, wx, wy)
 
 
+def _prepare_smm_windows(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
+                         max_norm: jax.Array, half_w: int):
+    """Prefetch the per-keypoint sampling windows ONCE for all Baumberg
+    iterations (the reference warps from the level image every iteration,
+    affine.cpp:92-116; the window is iteration-invariant because only the
+    shape matrix changes, never the center or the level).
+
+    ``max_norm``: conservative per-keypoint bound on ||A|| over all
+    iterations (sqrt(aniso_cutoff) * scale ratio).  Keypoints whose
+    sampling reach exceeds the window half-extent read from a
+    2x-decimated copy of the stack instead (the blur levels are already
+    sigma >= 1.6, so decimation loses nothing).  Returns
+    (window_source, xy_eff, inv_scale) — sample with A * inv_scale.
+    """
+    from mods_tpu.ops.sampler import pad_canvas, prepare_windows
+    stack = pad_canvas(blurs)
+    l2, hc, wc = stack.shape
+    dec = stack[:, ::2, ::2]
+    dec = jnp.pad(dec, ((0, 0), (0, hc - dec.shape[1]),
+                        (0, wc - dec.shape[2])), mode="edge")
+    big = jnp.concatenate([stack, dec], axis=0)
+    use_half = (max_norm * half_w * 1.4143) > 62.0
+    inv_scale = jnp.where(use_half, 0.5, 1.0)
+    lvl_eff = lvl + l2 * use_half.astype(jnp.int32)
+    xy_eff = xy * inv_scale[:, None]
+    # no validity masking: out-of-image samples clamp to the replicated
+    # edge, matching the clipped-gather semantics of the direct path
+    vhw = jnp.broadcast_to(jnp.asarray([[hc, wc]], jnp.int32), (2 * l2, 2))
+    return prepare_windows(big, lvl_eff, xy_eff, vhw), xy_eff, inv_scale
+
+
 def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,
                    s_oct: jax.Array, valid: jax.Array,
                    p: AffineShapeParams):
@@ -91,11 +122,15 @@ def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,
     mask = jnp.asarray(gauss_mask(W))            # (W, W)
     npix = float(W * W)
     ratio = s_oct / p.initial_sigma              # affine.cpp:33
+    if p.do_baumberg:
+        from mods_tpu.ops.sampler import sample_from_windows
+        ws, xy_eff, inv_scale = _prepare_smm_windows(
+            blurs, lvl, xy_oct, jnp.sqrt(6.0) * ratio, W // 2)
 
     def body(it, state):
         u, act, bef, done, conv = state
-        A = u * ratio[:, None, None]
-        patch = _sample_patches_level(blurs, lvl, xy_oct, A, W)
+        A = (u * ratio[:, None, None]) * inv_scale[:, None, None]
+        patch = sample_from_windows(ws, xy_eff, A, W, chunk=512)
         fx, fy = patch_gradient(patch)
         a = jnp.sum(fx * fx * mask, axis=(1, 2)) / npix
         b = jnp.sum(fx * fy * mask, axis=(1, 2)) / npix

@@ -152,12 +152,25 @@ def _nms_mask(resps: jax.Array, pos_th: float, neg_th: float) -> jax.Array:
 def _gather3x3x3(vol: jax.Array, lvl: jax.Array, r: jax.Array,
                  c: jax.Array) -> jax.Array:
     """Gather (K, 3, 3, 3) windows centered at (lvl, r, c) from
-    (L+2, H, W).  Indices must be in-range (caller clamps)."""
-    dl = jnp.arange(-1, 2)
-    win_l = lvl[:, None, None, None] + dl[None, :, None, None]
-    win_r = r[:, None, None, None] + dl[None, None, :, None]
-    win_c = c[:, None, None, None] + dl[None, None, None, :]
-    return vol[win_l, win_r, win_c]
+    (L+2, H, W).  Indices must be in-range (caller clamps).
+
+    27 flat takes, combined along the LEADING axes: a (K, 3, 3, 3)
+    advanced-index gather materializes with a (3, 3) trailing tile that
+    pads to (8, 128) on TPU — a 113x memory blowup; flat (K,) takes pad
+    only to the lane boundary."""
+    L2, H, W = vol.shape
+    flat = vol.reshape(-1)
+    base = (lvl * H + r) * W + c
+    taps = []
+    for dl in (-1, 0, 1):
+        rows = []
+        for dr in (-1, 0, 1):
+            cols = [jnp.take(flat, base + (dl * H + dr) * W + dc,
+                             mode="clip")
+                    for dc in (-1, 0, 1)]
+            rows.append(jnp.stack(cols, axis=0))      # (3, K)
+        taps.append(jnp.stack(rows, axis=0))           # (3, 3, K)
+    return jnp.stack(taps, axis=0).transpose(3, 0, 1, 2)  # (K, 3, 3, 3)
 
 
 def localize_keypoints(resps: jax.Array, blurs: jax.Array, lvl: jax.Array,

@@ -26,6 +26,9 @@ from mods_tpu.ransac.homography import ransac_h
 
 def _features_one(img, cfg: EngineConfig):
     """(H, W) identity-view features, fully traced."""
+    from mods_tpu.descriptors.describe import (DESC_MIP_LEVELS,
+                                               extract_descriptor_patches_mip)
+    from mods_tpu.ops.sampler import mip_stack
     h, w = img.shape
     caps = cfg.caps
     valid_hw = jnp.asarray([[h, w]], jnp.int32)
@@ -33,10 +36,11 @@ def _features_one(img, cfg: EngineConfig):
         img[None], valid_hw, cfg.pyramid, cfg.affine, caps)
     do = cfg.dom_ori
     M = caps.max_angles
+    mips, mip_hw = mip_stack(img, DESC_MIP_LEVELS)
     angles, amask = detect_orientations(
         img, regs.xy[0], regs.A[0], regs.s[0], regs.mask[0],
         do.patch_extraction.mr_size, do.patch_extraction.patch_size,
-        M, do.threshold)
+        M, do.threshold, mip_src=(mips, mip_hw))
     Arot = rotate_shapes(regs.A[0], angles)        # (K, M, 2, 2)
     K = regs.capacity
     xy = jnp.repeat(regs.xy[0][:, None], M, 1).reshape(K * M, 2)
@@ -44,8 +48,8 @@ def _features_one(img, cfg: EngineConfig):
     s = jnp.repeat(regs.s[0][:, None], M, 1).reshape(K * M)
     m = amask.reshape(K * M)
     pe = cfg.sift.patch_extraction
-    patches = extract_descriptor_patches(
-        img, xy, A, s, pe.mr_size, pe.patch_size,
+    patches = extract_descriptor_patches_mip(
+        mips, mip_hw, xy, A, s, pe.mr_size, pe.patch_size,
         photo_norm=pe.photo_norm)
     desc = compute_sift(patches, cfg.sift)
     return xy, A, s, desc, m

@@ -199,7 +199,7 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
         return xy_r, A_r, m_f & inside & ~tb
 
     def one_family(views, regs_xy, regs_A, regs_s, regs_mask, hinv,
-                   fam: str):
+                   fam: str, mips_v, mip_hw):
         if fam == "none":
             # non-SIFT-like path: detected regions used directly
             # (imagerepresentation.cpp:1299-1302)
@@ -210,14 +210,15 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
             xy_r, A_r, m_f = _reproject(xy_f, A_f, s_f, m_f, hinv)
             return xy_f, A_f, s_f, m_f, xy_r, A_r
 
-        def ori_one(view, xy, A, s, m):
+        def ori_one(view, xy, A, s, m, mips):
             return detect_orientations(
                 view, xy, A, s, m,
                 dom_ori.patch_extraction.mr_size,
                 dom_ori.patch_extraction.patch_size, M,
-                dom_ori.threshold, half_sift=(fam == "half"))
+                dom_ori.threshold, half_sift=(fam == "half"),
+                mip_src=(mips, mip_hw[0]))
         angles, amask = jax.vmap(ori_one)(
-            views, regs_xy, regs_A, regs_s, regs_mask)
+            views, regs_xy, regs_A, regs_s, regs_mask, mips_v)
         if dom_ori.max_angles >= 0:
             amask = amask & (jnp.arange(M) < dom_ori.max_angles)[None, None]
         Arot = jax.vmap(rotate_shapes)(regs_A, angles)
@@ -231,11 +232,16 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
 
     def program(views, regs_xy, regs_A, regs_s, regs_resp, regs_mask,
                 hinv):
+        from mods_tpu.descriptors.describe import DESC_MIP_LEVELS
+        from mods_tpu.ops.sampler import mip_stack
+        mips_v, mip_hw = jax.vmap(
+            lambda v: mip_stack(v, DESC_MIP_LEVELS))(views)
         out = {}
         fam_data = {}
         for fam in families:
             fam_data[fam] = one_family(
-                views, regs_xy, regs_A, regs_s, regs_mask, hinv, fam)
+                views, regs_xy, regs_A, regs_s, regs_mask, hinv, fam,
+                mips_v, mip_hw)
 
         for fam in families:
             xy_f, A_f, s_f, m_f, xy_r, A_r = fam_data[fam]
@@ -244,10 +250,12 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                              2).reshape(V, KM)
             fam_specs = [sp for sp in specs if fam_key(sp) == fam]
 
-            def patches_hist(view, xyv, Av, sv, scale_coef=1.0):
-                p = extract_descriptor_patches(
-                    view, xyv, Av, sv * scale_coef, pe_mr, pe_patch,
-                    photo_norm=pe_photo)
+            def patches_hist(mips, xyv, Av, sv, scale_coef=1.0):
+                from mods_tpu.descriptors.describe import \
+                    extract_descriptor_patches_mip
+                p = extract_descriptor_patches_mip(
+                    mips, mip_hw[0], xyv, Av, sv * scale_coef, pe_mr,
+                    pe_patch, photo_norm=pe_photo)
                 return p
 
             base = SIFTDescriptorParams()  # raw histogram params
@@ -256,7 +264,7 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
             need_bin = any(sp.kind == "binary" for sp in fam_specs)
             need_patch = any(sp.kind == "patch" for sp in fam_specs)
 
-            def desc_one_view(view, xyv, Av, sv):
+            def desc_one_view(view, mips, xyv, Av, sv):
                 res = {}
                 if need_bin:
                     from mods_tpu.detectors.orb import brief_descriptors
@@ -266,7 +274,7 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                             res[sp.name] = bits
                 if not (need_hist or need_pix or need_patch):
                     return res
-                patches = patches_hist(view, xyv, Av, sv)
+                patches = patches_hist(mips, xyv, Av, sv)
                 if need_patch:
                     from mods_tpu.descriptors.patch_descs import PATCH_FNS
                     for sp in fam_specs:
@@ -285,7 +293,7 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                             for c in coefs:
                                 if abs(c - 1.0) < 1e-6:
                                     continue
-                                pc = patches_hist(view, xyv, Av, sv,
+                                pc = patches_hist(mips, xyv, Av, sv,
                                                   float(c))
                                 h = h + sift_histograms(pc, base)
                         p = sp.sift
@@ -306,7 +314,7 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 return res
 
             descs = jax.lax.map(
-                lambda t: desc_one_view(*t), (views, xy_f, A_f, s_f))
+                lambda t: desc_one_view(*t), (views, mips_v, xy_f, A_f, s_f))
             for sp in fam_specs:
                 D = descs[sp.name].shape[-1]
                 out[sp.name] = dict(
