@@ -5,12 +5,13 @@ over a pair batch, with fresh input buffers per timed call (the tunnel
 caches executions on identical buffers).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def textured(h, w, seed):
@@ -43,10 +44,16 @@ def main():
     n = 8
     i1 = [jnp.asarray(textured(h, w, 2 * i)) for i in range(n)]
     i2 = [jnp.asarray(textured(h, w, 2 * i + 1)) for i in range(n)]
-    jax.block_until_ready(fn(i1[0], i2[0], key))
+    # Warm up on buffers not used in the timed loop, and split the key
+    # per timed call (identical buffers+key would hit the tunnel's
+    # execution cache and measure dispatch latency, not compute).
+    jax.block_until_ready(
+        fn(jnp.asarray(textured(h, w, 9000)),
+           jnp.asarray(textured(h, w, 9001)), key))
     t0 = time.perf_counter()
     for i in range(n):
-        jax.block_until_ready(fn(i1[i], i2[i], key))
+        key, k = jax.random.split(key)
+        jax.block_until_ready(fn(i1[i], i2[i], k))
     dt = (time.perf_counter() - t0) / n
     print(f"single-pair fused        {dt*1e3:9.2f} ms/pair "
           f"({1/dt:6.2f} pairs/s)")
