@@ -31,10 +31,20 @@ def _build_engine(config_path: str | None, iters_path: str | None,
     min_matches = 10
     if config_path:
         ini = ini_mod.load_ini(config_path)
-        pyr = ini_mod.parse_detector_config(ini, "HessianAffine")
-        ransac = ini_mod.parse_ransac_config(ini)
-        match = ini_mod.parse_matching_config(ini)
-        cfg = replace(cfg, pyramid=pyr, ransac=ransac, match=match)
+        flags = ini_mod.parse_flags_config(ini)
+        cfg = replace(
+            cfg,
+            pyramid=ini_mod.parse_detector_config(ini, "HessianAffine"),
+            pyramid_dog=ini_mod.parse_detector_config(ini, "DoG"),
+            pyramid_harris=ini_mod.parse_detector_config(
+                ini, "HarrisAffine"),
+            affine=ini_mod.parse_affine_config(ini, "HessianAffine"),
+            mser=ini_mod.parse_mser_config(ini),
+            dom_ori=ini_mod.parse_dom_ori_config(ini),
+            sift=ini_mod.parse_sift_desc_config(ini),
+            ransac=ini_mod.parse_ransac_config(ini),
+            match=ini_mod.parse_matching_config(ini),
+            **flags)
     if iters_path:
         steps, min_matches, ladder = ini_mod.parse_iters_file(iters_path)
     use_f = ver_type in ("LORANSACF", "ORSA")
@@ -97,34 +107,20 @@ def cmd_match(argv: list[str]) -> int:
 def cmd_extract(argv: list[str]) -> int:
     """extract_features equivalent: single image -> keypoint file
     (extract_features.cpp:121-135)."""
-    from mods_tpu.pipeline import FeatureStore, TwoViewMatcher
-    from mods_tpu.config import IterationParams
     from mods_tpu.io.regions_io import RegionSet, save_regions
-    from mods_tpu.ops.image import to_gray
-    from mods_tpu.timing import TimeLog
-    import jax.numpy as jnp
 
     imgp, outp = argv[0], argv[1]
     config = argv[2] if len(argv) > 2 else None
     iters = argv[3] if len(argv) > 3 else None
-    cfg, ladder = _build_engine(config, iters)
-    if ladder is None:
-        ladder = [IterationParams()]
-    matcher = TwoViewMatcher(ladder, cfg)
-    g = np.asarray(to_gray(jnp.asarray(_load_image(imgp))))
-    stores: dict = {}
-    prev: list = []
-    log = TimeLog()
-    it0 = ladder[0]  # extract_features runs iteration 0 only
-    prev = matcher._process_image(g, it0, prev, stores, log)
+    stores = _extract_stores(imgp, config, iters)
     out = {}
-    for name, store in stores.items():
+    for (det, name), store in stores.items():
         n = store.count
         rs = RegionSet(
             det_xy=store.xy, det_A=store.A, det_s=store.s,
             reproj_xy=store.xy, reproj_A=store.A, reproj_s=store.s,
             sub_type=np.zeros(n, np.int64), desc=store.desc)
-        out.setdefault(it0.detector, {})[name] = rs
+        out.setdefault(det, {})[name] = rs
     save_regions(outp, out)
     total = sum(s.count for s in stores.values())
     print(f"Saved {total} regions to {outp}")
@@ -132,9 +128,11 @@ def cmd_extract(argv: list[str]) -> int:
 
 
 def _extract_stores(imgp: str, config, iters):
-    """Shared single-image extraction for the exporter commands."""
+    """Shared single-image extraction for the exporter commands:
+    iteration 0 only (extract_features.cpp:121), all of its detectors.
+    Returns stores keyed (detector, descriptor)."""
     from mods_tpu.pipeline import TwoViewMatcher
-    from mods_tpu.config import IterationParams
+    from mods_tpu.config import IterationParams, as_rungs
     from mods_tpu.ops.image import to_gray
     from mods_tpu.timing import TimeLog
     import jax.numpy as jnp
@@ -145,7 +143,9 @@ def _extract_stores(imgp: str, config, iters):
     matcher = TwoViewMatcher(ladder, cfg)
     g = np.asarray(to_gray(jnp.asarray(_load_image(imgp))))
     stores: dict = {}
-    matcher._process_image(g, ladder[0], [], stores, TimeLog())
+    log = TimeLog()
+    for it in as_rungs(ladder)[0].dets:
+        matcher._process_image(g, it, [], stores, log)
     return stores
 
 
@@ -159,10 +159,10 @@ def cmd_export_descriptors(argv: list[str]) -> int:
     config = argv[2] if len(argv) > 2 else None
     iters = argv[3] if len(argv) > 3 else None
     stores = _extract_stores(imgp, config, iters)
-    for name, store in stores.items():
-        path = outp if len(stores) == 1 else f"{outp}.{name}"
+    for (det, name), store in stores.items():
+        path = outp if len(stores) == 1 else f"{outp}.{det}.{name}"
         write_descriptors_benchmark(path, store.desc)
-        print(f"{name}: {store.count} descriptors -> {path}")
+        print(f"{det}/{name}: {store.count} descriptors -> {path}")
     return 0
 
 
@@ -182,7 +182,7 @@ def cmd_extract_benchmark(argv: list[str]) -> int:
     if h_path and h_path not in ("0", "none", ""):
         from mods_tpu.verify import load_h_file
         H = load_h_file(h_path)
-    for name, store in stores.items():
+    for (det, name), store in stores.items():
         xy, A, s = store.xy, store.A, store.s
         if H is not None:
             ones = np.ones((len(xy), 1))
@@ -193,9 +193,9 @@ def cmd_extract_benchmark(argv: list[str]) -> int:
                    - p[:, :2, None] / p[:, 2:3, None] * H[2, :2][None,
                                                                  None])
             A = np.einsum("nij,njk->nik", lin / p[:, 2:3, None], A)
-        path = outp if len(stores) == 1 else f"{outp}.{name}"
+        path = outp if len(stores) == 1 else f"{outp}.{det}.{name}"
         write_oxford(path, xy, A, s, store.desc)
-        print(f"{name}: {store.count} regions -> {path}")
+        print(f"{det}/{name}: {store.count} regions -> {path}")
     return 0
 
 

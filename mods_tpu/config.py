@@ -118,6 +118,42 @@ class MatchParams:
     standard_2nd_closest: bool = False
     duplicate_dist: float = 3.0        # duplicate filter radius (io_mods)
     duplicate_mode: str = "random"     # random|fginn|distance|bigger_region
+    # global per-descriptor thresholds for GROUPED matching — the
+    # `matchRatio<Desc>` / `matchDistance<Desc>` keys of the config-file
+    # [Matching] section (io_mods.cpp:509-513).  Tuples of (name, value)
+    # so the dataclass stays hashable.
+    fginn_per_desc: tuple = ()
+    dist_per_desc: tuple = ()
+    # FGINN+DB mode (MatchFlannFGINNPlusDB, matching.cpp:462;
+    # correspondencebank.h:33-36): an external descriptor database
+    # supplies an additional second-nearest distance.
+    use_db_for_fginn: bool = False
+    sift_db_file: str = ""
+
+    def group_fginn(self, desc: str) -> float:
+        return dict(self.fginn_per_desc).get(desc, 0.0)
+
+    def group_distance(self, desc: str) -> float:
+        return dict(self.dist_per_desc).get(desc, 0.0)
+
+
+@dataclass(frozen=True)
+class MatchPlan:
+    """Per-rung matching plan — the reference `WhatToMatch` struct filled
+    from `[Matching<step>]` sections (io_mods.cpp:487-501):
+
+    * each descriptor in ``group_descriptors`` is matched once over the
+      POOLED regions of all ``group_detectors`` with the global
+      config-level thresholds (correspondencebank.cpp:245-289);
+    * each (detector, descriptor) in ``separate_detectors`` x
+      ``separate_descriptors`` is matched on its own with the rung's
+      per-descriptor thresholds — and only when that detector actually
+      ran this rung (correspondencebank.cpp:292-303 skips detectors
+      absent from the step's synthesis params)."""
+    group_descriptors: tuple = ()
+    group_detectors: tuple = ()
+    separate_detectors: tuple = ()
+    separate_descriptors: tuple = ()
 
 
 class RansacErrorType:
@@ -194,6 +230,52 @@ class IterationParams:
     do_blur: bool = True
     fginn_threshold: tuple[float, ...] = (0.8,)
     distance_threshold: tuple[float, ...] = (0.0,)
+
+    def fginn_for(self, desc: str) -> float:
+        m = dict(zip(self.descriptors, self.fginn_threshold))
+        return m.get(desc, 0.0)
+
+    def distance_for(self, desc: str) -> float:
+        m = dict(zip(self.descriptors, self.distance_threshold))
+        return m.get(desc, 0.0)
+
+
+@dataclass(frozen=True)
+class Rung:
+    """One escalation-ladder step: the detector iterations that run (one
+    per `[<Detector><step>]` section — the reference allows several per
+    step, io_mods.cpp:663-688) plus the step's matching plan
+    (`[Matching<step>]`)."""
+    dets: tuple[IterationParams, ...] = (IterationParams(),)
+    plan: MatchPlan | None = None
+
+    @property
+    def detectors(self) -> tuple[str, ...]:
+        return tuple(d.detector for d in self.dets)
+
+    def default_plan(self) -> MatchPlan:
+        """When no [Matching<step>] section exists: match each of this
+        rung's (detector, descriptor) pairs separately."""
+        descs = []
+        for d in self.dets:
+            for name in d.descriptors:
+                if name not in descs:
+                    descs.append(name)
+        return MatchPlan(separate_detectors=self.detectors,
+                         separate_descriptors=tuple(descs))
+
+
+def as_rungs(ladder) -> list:
+    """Normalize a ladder given as IterationParams list / Rung list."""
+    out = []
+    for item in ladder:
+        if isinstance(item, Rung):
+            out.append(item)
+        elif isinstance(item, IterationParams):
+            out.append(Rung(dets=(item,)))
+        else:
+            out.append(Rung(dets=tuple(item)))
+    return out
 
 
 def replace(obj, **kw):

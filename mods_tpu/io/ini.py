@@ -17,8 +17,8 @@ import configparser
 import re
 
 from mods_tpu.config import (DetectionMode, IterationParams, MatchParams,
-                             PyramidParams, RansacParams, RansacErrorType,
-                             replace)
+                             MatchPlan, PyramidParams, RansacParams,
+                             RansacErrorType, Rung, replace)
 
 KNOWN_DETECTORS = (
     "HessianAffine", "DoG", "HarrisAffine", "MSER", "ORB", "TILDE",
@@ -57,37 +57,48 @@ def _strs(v: str) -> tuple[str, ...]:
 
 
 def parse_iters_file(path: str):
-    """-> (steps, min_matches, ladder: list[IterationParams])."""
+    """-> (steps, min_matches, ladder: list[Rung]).
+
+    Each step may declare several `[<Detector><step>]` sections (the
+    reference scans all DetectorNames per step, io_mods.cpp:663-688)
+    plus a `[Matching<step>]` plan (io_mods.cpp:487-501)."""
     ini = load_ini(path)
     its = ini.get("Iterations", {})
     steps = int(float(its.get("Steps", "1")))
     min_matches = int(float(its.get("minMatches", "15")))
-    ladder: list[IterationParams] = []
+    ladder: list[Rung] = []
     for step in range(steps):
-        sec_name = None
-        det = None
+        dets: list[IterationParams] = []
         for d in KNOWN_DETECTORS:
-            cand = f"{d}{step}"
-            if cand in ini:
-                sec_name = cand
-                det = d
-                break
-        if sec_name is None:
+            sec = ini.get(f"{d}{step}")
+            if sec is None:
+                continue
+            descs = _strs(sec.get("Descriptors", "RootSIFT"))
+            dets.append(IterationParams(
+                detector=d,
+                descriptors=descs,
+                tilt_set=_floats(sec.get("TiltSet", "1")),
+                scale_set=_floats(sec.get("ScaleSet", "1")),
+                phi_base=_floats(sec.get("Phi", "360"))[0],
+                init_sigma=_floats(sec.get("initSigma", "0.5"))[0],
+                fginn_threshold=_floats(sec.get("FGINNThreshold", "0.8")),
+                distance_threshold=_floats(
+                    sec.get("DistanceThreshold", "0")),
+            ))
+        if not dets:
             break
-        sec = ini[sec_name]
-        descs = _strs(sec.get("Descriptors", "RootSIFT"))
-        fginn = _floats(sec.get("FGINNThreshold", "0.8"))
-        dist = _floats(sec.get("DistanceThreshold", "0"))
-        ladder.append(IterationParams(
-            detector=det,
-            descriptors=descs,
-            tilt_set=_floats(sec.get("TiltSet", "1")),
-            scale_set=_floats(sec.get("ScaleSet", "1")),
-            phi_base=_floats(sec.get("Phi", "360"))[0],
-            init_sigma=_floats(sec.get("initSigma", "0.5"))[0],
-            fginn_threshold=fginn,
-            distance_threshold=dist,
-        ))
+        plan = None
+        msec = ini.get(f"Matching{step}")
+        if msec is not None:
+            plan = MatchPlan(
+                group_descriptors=_strs(msec.get("GroupDescriptors", "")),
+                group_detectors=_strs(msec.get("GroupDetectors", "")),
+                separate_detectors=_strs(
+                    msec.get("SeparateDetectors", "")),
+                separate_descriptors=_strs(
+                    msec.get("SeparateDescriptors", "")),
+            )
+        ladder.append(Rung(dets=tuple(dets), plan=plan))
     return steps, min_matches, ladder
 
 
@@ -121,6 +132,92 @@ def parse_detector_config(ini: dict, section: str = "HessianAffine"
     )
 
 
+def parse_affine_config(ini: dict, section: str = "HessianAffine"):
+    """Baumberg-adaptation keys of a scale-space detector section
+    (io_mods.cpp: max_iter/convergenceThreshold/smmWindowSize/patch_size/
+    doBaumberg)."""
+    from mods_tpu.config import AffineShapeParams
+    sec = ini.get(section, {})
+    g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
+    return AffineShapeParams(
+        max_iterations=int(g("max_iter", 16)),
+        convergence_threshold=g("convergenceThreshold", 0.05),
+        smm_window_size=int(g("smmWindowSize", 19)),
+        patch_size=int(g("patch_size", 41)),
+        initial_sigma=g("initialSigma", 1.6),
+        do_baumberg=bool(int(g("doBaumberg", 1))),
+    )
+
+
+def parse_mser_config(ini: dict):
+    """[MSER] section (io_mods.cpp GetMSERPars)."""
+    from mods_tpu.pipeline import MserParams
+    sec = ini.get("MSER", {})
+    g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
+    return MserParams(
+        min_size=int(g("min_size", 30)),
+        max_area=g("max_area", 0.05),
+        min_margin=int(g("min_margin", 8)),
+    )
+
+
+def parse_dom_ori_config(ini: dict):
+    """[DominantOrientation] section (io_mods.cpp GetDomOriPars)."""
+    from mods_tpu.config import (DominantOrientationParams,
+                                 PatchExtractionParams)
+    sec = ini.get("DominantOrientation", {})
+    g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
+    def gb(k, d):
+        v = _strip_value(sec.get(k, str(d))).lower()
+        return v in ("1", "true", "yes")
+    return DominantOrientationParams(
+        max_angles=int(g("maxAngles", -1)),
+        threshold=g("threshold", 0.8),
+        add_up_right=gb("addUpright", False),
+        half_sift_mode=gb("halfSIFTMode", False),
+        patch_extraction=PatchExtractionParams(
+            patch_size=int(g("patchSize", 41)),
+            mr_size=g("mrSize", 5.1962)),
+    )
+
+
+def parse_sift_desc_config(ini: dict):
+    """[SIFTDescriptor] section (io_mods.cpp GetSIFTDescPars)."""
+    from mods_tpu.config import (PatchExtractionParams,
+                                 SIFTDescriptorParams)
+    sec = ini.get("SIFTDescriptor", {})
+    g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
+    def gb(k, d):
+        v = _strip_value(sec.get(k, str(d))).lower()
+        return v in ("1", "true", "yes")
+    return SIFTDescriptorParams(
+        spatial_bins=int(g("spatialBins", 4)),
+        orientation_bins=int(g("orientationBins", 8)),
+        max_bin_value=g("maxBinValue", 0.2),
+        root_sift=True,
+        patch_extraction=PatchExtractionParams(
+            patch_size=int(g("patchSize", 41)),
+            mr_size=g("mrSize", 5.1962),
+            fast_extraction=gb("FastPatchExtraction", False),
+            photo_norm=gb("photoNorm", True)),
+    )
+
+
+def parse_flags_config(ini: dict) -> dict:
+    """Engine-level flags scattered over [Matching]/[SURF]
+    (doCLAHE io_mods.cpp:746; doBothRANSACgroundTruth/RANSACforStopping
+    GetMatchPars)."""
+    m = ini.get("Matching", {})
+    g = lambda k, d: float(_strip_value(m.get(k, str(d))))
+    surf = ini.get("SURF", {})
+    gs = lambda k, d: float(_strip_value(surf.get(k, str(d))))
+    return dict(
+        do_clahe=bool(int(g("doCLAHE", 0))),
+        do_both_ransac_gt=bool(int(g("doBothRANSACgroundTruth", 1))),
+        surf_threshold=gs("thres", 0.0004),
+    )
+
+
 def parse_ransac_config(ini: dict) -> RansacParams:
     sec = ini.get("RANSAC", {})
     g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
@@ -148,9 +245,23 @@ def parse_matching_config(ini: dict) -> MatchParams:
     mode = dup.get("whichCorrespondenceRemains", "random").strip()
     mode_map = {"random": "random", "bestFGINN": "fginn",
                 "bestDistance": "distance", "biggerRegion": "bigger_region"}
+    fginn_map = []
+    dist_map = []
+    for k, v in sec.items():
+        if k.startswith("matchRatio"):
+            fginn_map.append((k[len("matchRatio"):],
+                              float(_strip_value(v))))
+        elif k.startswith("matchDistance"):
+            dist_map.append((k[len("matchDistance"):],
+                             float(_strip_value(v))))
     return MatchParams(
         contrad_dist=g("contradDist", 10.0),
         duplicate_dist=gd("duplicateDist", 3.0),
         duplicate_mode=mode_map.get(mode, "random"),
         knn=int(g("kNN", 50)),
+        fginn_per_desc=tuple(sorted(fginn_map)),
+        dist_per_desc=tuple(sorted(dist_map)),
+        standard_2nd_closest=bool(int(g("doStandard_2nd_closestToo", 0))),
+        use_db_for_fginn=bool(int(g("useDBforFGINN", 0))),
+        sift_db_file=sec.get("SIFTDBfile", "").strip(),
     )

@@ -71,12 +71,24 @@ def match_fginn(desc1: jax.Array, mask1: jax.Array, desc2: jax.Array,
                 mask2: jax.Array, reproj_xy2: jax.Array,
                 ratio_threshold: float | jax.Array,
                 contrad_dist: float | jax.Array = 10.0, knn: int = 50,
-                row_tile: int = 1024) -> Tentatives:
+                row_tile: int = 1024, standard_2nd: bool = False,
+                db: tuple | None = None) -> Tentatives:
     """FGINN matching of list1 against list2.
 
     reproj_xy2: (N2, 2) coordinates of list2 regions in the ORIGINAL image
     frame (reproj_kp in the reference) — the contradiction distance is
     measured there.
+
+    standard_2nd: plain Lowe 2nd-closest ratio instead of FGINN (the
+    reference parses `doStandard_2nd_closestToo` at io_mods.cpp:515-518
+    into matching.hpp:106 but never consumes it; this implements the
+    documented intent: the contradiction scan collapses to j=1).
+
+    db: optional (desc_db (Ndb, D), mask_db (Ndb,)) external descriptor
+    database — the FGINN+DB mode (MatchFlannFGINNPlusDB,
+    matching.cpp:462-566): the effective ratio is
+    max(FGINN ratio, d0 / d_nearest_in_DB), i.e. a match must also beat
+    its nearest database impostor.
     """
     dists, idx = knn_squared_l2(desc1, mask1, desc2, mask2, knn, row_tile)
     xy = reproj_xy2[idx]                       # (N1, k, 2)
@@ -93,9 +105,18 @@ def match_fginn(desc1: jax.Array, mask1: jax.Array, desc2: jax.Array,
     last_finite = jnp.maximum(
         jnp.sum(jnp.isfinite(dists), axis=-1) - 1, 1)
     jstar = jnp.where(any_contra, jnp.argmax(contra, axis=-1), last_finite)
+    if standard_2nd:
+        jstar = jnp.ones_like(jstar)
     d0 = dists[:, 0]
     dj = jnp.take_along_axis(dists, jstar[:, None], axis=-1)[:, 0]
     ratio_sq = d0 / jnp.where(dj > 0, dj, jnp.inf)
+    if db is not None:
+        db_desc, db_mask = db
+        ddb, _ = knn_squared_l2(desc1, mask1, db_desc, db_mask, 1,
+                                row_tile)
+        # an identical DB impostor (d_db -> 0) must give ratio -> inf
+        ratio_db = d0 / jnp.maximum(ddb[:, 0], jnp.float32(1e-12))
+        ratio_sq = jnp.maximum(ratio_sq, ratio_db)
     thr = jnp.asarray(ratio_threshold, jnp.float32)
     ok = (mask1 & (ratio_sq <= thr * thr) & jnp.isfinite(d0)
           & jnp.isfinite(dj))

@@ -26,8 +26,9 @@ import numpy as np
 from mods_tpu import synthesis
 from mods_tpu.config import (AffineShapeParams, CapacityParams,
                              DominantOrientationParams, IterationParams,
-                             MatchParams, OrsaParams, PyramidParams,
-                             RansacParams, SIFTDescriptorParams)
+                             MatchParams, MatchPlan, OrsaParams,
+                             PyramidParams, RansacParams, Rung,
+                             SIFTDescriptorParams, as_rungs)
 from mods_tpu.descriptors.describe import (extract_descriptor_patches,
                                            image_to_patch_scale)
 from mods_tpu.descriptors.orientation import detect_orientations, \
@@ -78,6 +79,14 @@ class EngineConfig:
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
+    # photometric normalization before matching (mods.cpp:139-189)
+    do_clahe: bool = False
+    # GR_TRUTH dual mode: additionally run RANSAC and GT-check its
+    # output (doBothRANSACgroundTruth, mods.cpp:320-334)
+    do_both_ransac_gt: bool = False
+    # tentative-bank drops at given steps — mods.cpp:288-289 hardcodes
+    # ClearCorrespondences("ORB","ORB") at step 2 of the CVIU ladder.
+    clear_tentatives: tuple = ((2, "ORB", "ORB"),)
 
     def pyramid_for(self, detector: str) -> PyramidParams:
         return {"HessianAffine": self.pyramid,
@@ -215,12 +224,18 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 view, xy, A, s, m,
                 dom_ori.patch_extraction.mr_size,
                 dom_ori.patch_extraction.patch_size, M,
-                dom_ori.threshold, half_sift=(fam == "half"),
+                dom_ori.threshold,
+                half_sift=(fam == "half" or dom_ori.half_sift_mode),
                 mip_src=(mips, mip_hw[0]))
         angles, amask = jax.vmap(ori_one)(
             views, regs_xy, regs_A, regs_s, regs_mask, mips_v)
         if dom_ori.max_angles >= 0:
             amask = amask & (jnp.arange(M) < dom_ori.max_angles)[None, None]
+        if dom_ori.add_up_right:
+            # keep one un-rotated copy of every region in the last
+            # angle slot (addUpRight, synth-detection.cpp:913-915)
+            angles = angles.at[..., M - 1].set(0.0)
+            amask = amask.at[..., M - 1].set(regs_mask)
         Arot = jax.vmap(rotate_shapes)(regs_A, angles)
 
         xy_f = jnp.repeat(regs_xy[:, :, None], M, 2).reshape(V, K * M, 2)
@@ -388,9 +403,17 @@ def _orb_detect_program(V: int, hc: int, wc: int, caps: CapacityParams):
 
 
 @functools.lru_cache(maxsize=64)
-def _tentative_program(cap: int, D: int, knn: int, contrad: float):
-    def program(d1, m1, d2, m2, xy2, ratio_th):
-        return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad, knn)
+def _tentative_program(cap: int, D: int, knn: int, contrad: float,
+                       standard_2nd: bool = False, with_db: bool = False):
+    if with_db:
+        def program(d1, m1, d2, m2, xy2, ratio_th, db_desc, db_mask):
+            return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad,
+                               knn, standard_2nd=standard_2nd,
+                               db=(db_desc, db_mask))
+    else:
+        def program(d1, m1, d2, m2, xy2, ratio_th):
+            return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad,
+                               knn, standard_2nd=standard_2nd)
     return jax.jit(program)
 
 
@@ -452,6 +475,9 @@ class MatchResult:
     n_tentatives: int
     steps_used: int
     log: TimeLog
+    # dual GR_TRUTH+RANSAC mode counters (doBothRANSACgroundTruth,
+    # mods.cpp:320-334): {"ransac_matches": N, "ransac_true": N}
+    extras: dict = field(default_factory=dict)
 
 
 class TwoViewMatcher:
@@ -637,47 +663,79 @@ class TwoViewMatcher:
                          regs.response, regs.mask, jnp.asarray(hinv))
                 out = jax.tree.map(lambda x: np.asarray(x), out)
             for name, d in out.items():
-                stores.setdefault(name, FeatureStore()).add(
+                stores.setdefault((it.detector, name), FeatureStore()).add(
                     d["xy"], d["A"], d["s"], d["response"], d["desc"],
                     d["mask"])
         return prev_views
 
     # -- matching ----------------------------------------------------------
 
-    def _match_stores(self, stores1: dict, stores2: dict,
-                      it: IterationParams, log: TimeLog):
-        """Per-descriptor FGINN tentatives, concatenated; then verify."""
+    def _fginn_db(self, spec) -> tuple | None:
+        """External descriptor DB for FGINN+DB mode (RootSIFT only, as in
+        correspondencebank.cpp:337-341; file = [Matching] SIFTDBfile).
+        Rows are whitespace-separated descriptor vectors, padded here to a
+        power-of-two row count for stable program shapes."""
         cfg = self.cfg
-        cap = cfg.caps.per_image
-        tent_parts = []
-        names = [n for n in stores1 if n in stores2]
-        thr_map = dict(zip(it.descriptors, it.fginn_threshold))
-        dist_map = dict(zip(it.descriptors, it.distance_threshold))
-        for name in names:
-            spec = get_spec(name)
-            xy1, A1, s1, d1, m1 = stores1[name].padded(cap, spec.dim)
-            xy2, A2, s2, d2, m2 = stores2[name].padded(cap, spec.dim)
-            ratio = thr_map.get(name, cfg.match.ratio_threshold)
-            dist_thr = dist_map.get(name, 0.0)
-            if ratio <= 0 and dist_thr > 0:
-                # absolute-distance matching (binary/ORB path,
-                # correspondencebank.cpp:266-278 threshold selection)
+        if not (cfg.match.use_db_for_fginn and spec.name == "RootSIFT"
+                and cfg.match.sift_db_file):
+            return None
+        cached = getattr(self, "_fginn_db_cache", None)
+        if cached is not None and cached[0] == cfg.match.sift_db_file:
+            return cached[1]
+        arr = np.loadtxt(cfg.match.sift_db_file, dtype=np.float32,
+                         ndmin=2)
+        if arr.shape[1] != spec.dim:
+            raise ValueError(
+                f"SIFT DB dim {arr.shape[1]} != descriptor {spec.dim}")
+        n = arr.shape[0]
+        cap = max(128, 1 << (n - 1).bit_length())
+        desc = np.zeros((cap, spec.dim), np.float32)
+        desc[:n] = arr
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        self._fginn_db_cache = (cfg.match.sift_db_file, (desc, mask))
+        return desc, mask
+
+    def _match_one(self, feats1: tuple, feats2: tuple, spec,
+                   ratio: float, dist_thr: float, log: TimeLog) -> list:
+        """FGINN and/or distance matching of one padded feature pair.
+        Both run when both thresholds are positive
+        (correspondencebank.cpp:281-285)."""
+        cfg = self.cfg
+        xy1, A1, s1, d1, m1 = feats1
+        xy2, A2, s2, d2, m2 = feats2
+        cap = m1.shape[0]
+        parts = []
+        runs = []
+        if ratio > 0:
+            runs.append(("fginn", ratio))
+        if dist_thr > 0:
+            runs.append(("distance", dist_thr))
+        for kind, thr in runs:
+            if kind == "distance":
                 prog = _distance_program(cap, spec.dim,
                                          spec.kind == "binary")
                 with log.phase("MatchingTime"):
                     t = prog(jnp.asarray(d1), jnp.asarray(m1),
                              jnp.asarray(d2), jnp.asarray(m2),
-                             jnp.float32(dist_thr))
+                             jnp.float32(thr))
                     t = jax.tree.map(np.asarray, t)
             else:
-                if ratio <= 0:
-                    ratio = cfg.match.ratio_threshold
+                # FGINN+DB: the external SIFT database contributes an
+                # extra impostor distance (correspondencebank.cpp:337-341
+                # routes RootSIFT through MatchFlannFGINNPlusDB)
+                db = self._fginn_db(spec)
                 prog = _tentative_program(cap, spec.dim, cfg.match.knn,
-                                          cfg.match.contrad_dist)
+                                          cfg.match.contrad_dist,
+                                          cfg.match.standard_2nd_closest,
+                                          db is not None)
                 with log.phase("MatchingTime"):
-                    t = prog(jnp.asarray(d1), jnp.asarray(m1),
-                             jnp.asarray(d2), jnp.asarray(m2),
-                             jnp.asarray(xy2), jnp.float32(ratio))
+                    args = [jnp.asarray(d1), jnp.asarray(m1),
+                            jnp.asarray(d2), jnp.asarray(m2),
+                            jnp.asarray(xy2), jnp.float32(thr)]
+                    if db is not None:
+                        args += [jnp.asarray(db[0]), jnp.asarray(db[1])]
+                    t = prog(*args)
                     t = jax.tree.map(np.asarray, t)
             idx2 = t.idx2
             mode = cfg.match.duplicate_mode
@@ -689,26 +747,93 @@ class TwoViewMatcher:
                 prio = -s1
             else:
                 prio = np.arange(cap, dtype=np.float32)
-            tent_parts.append(dict(
-                xy1=xy1, A1=A1, s1=s1,
-                xy2=xy2[idx2], A2=A2[idx2], s2=s2[idx2],
-                prio=prio, mask=t.mask))
+            sel = np.where(t.mask)[0]
+            parts.append(dict(
+                xy1=xy1[sel], A1=A1[sel], s1=s1[sel],
+                xy2=xy2[idx2][sel], A2=A2[idx2][sel], s2=s2[idx2][sel],
+                prio=prio[sel]))
+        return parts
 
+    def _execute_plan(self, stores1: dict, stores2: dict, rung: Rung,
+                      log: TimeLog) -> None:
+        """Run the rung's matching plan, replacing the recomputed keys in
+        the persistent tentative bank (MatchImgReps,
+        correspondencebank.cpp:237-351)."""
+        cfg = self.cfg
+        plan = rung.plan or rung.default_plan()
+        cap = cfg.caps.per_image
+
+        def padded(key):
+            spec = get_spec(key[1])
+            st1 = stores1.get(key)
+            st2 = stores2.get(key)
+            if st1 is None or st2 is None:
+                return None, spec
+            return (st1.padded(cap, spec.dim),
+                    st2.padded(cap, spec.dim)), spec
+
+        # grouped: pool regions across group_detectors per descriptor,
+        # thresholds from the global [Matching] maps
+        for desc in plan.group_descriptors:
+            spec = get_spec(desc)
+            pooled1 = FeatureStore()
+            pooled2 = FeatureStore()
+            for det in plan.group_detectors:
+                for pooled, stores in ((pooled1, stores1),
+                                       (pooled2, stores2)):
+                    st = stores.get((det, desc))
+                    if st is not None and st.count:
+                        pooled.add(st.xy, st.A, st.s, st.response,
+                                   st.desc, np.ones(st.count, bool))
+            key = ("Group", desc)
+            self._bank.pop(key, None)
+            if not (pooled1.count and pooled2.count):
+                continue
+            parts = self._match_one(
+                pooled1.padded(cap, spec.dim), pooled2.padded(cap,
+                                                              spec.dim),
+                spec, cfg.match.group_fginn(desc),
+                cfg.match.group_distance(desc), log)
+            if parts:
+                self._bank[key] = parts
+
+        # separate: per (detector, descriptor), detector must have run
+        # this rung; thresholds from the rung's per-descriptor maps
+        rung_dets = {d.detector: d for d in rung.dets}
+        for det in plan.separate_detectors:
+            it = rung_dets.get(det)
+            if it is None:
+                continue      # not synthesized this step -> keep stale key
+            for desc in plan.separate_descriptors:
+                key = (det, desc)
+                self._bank.pop(key, None)
+                feats, spec = padded(key)
+                if feats is None:
+                    continue
+                parts = self._match_one(
+                    feats[0], feats[1], spec, it.fginn_for(desc),
+                    it.distance_for(desc), log)
+                if parts:
+                    self._bank[key] = parts
+
+    def _verify_bank(self, log: TimeLog):
+        """Concatenate the tentative bank (GetCorresponcesVector,
+        mods.cpp:298) -> duplicate filter -> geometric verification."""
+        cfg = self.cfg
+        tent_parts = [p for parts in self._bank.values() for p in parts]
+        if not tent_parts:
+            return None
         tcap = cfg.caps.tentatives
         comb = {k: np.zeros((tcap,) + tent_parts[0][k].shape[1:],
                             tent_parts[0][k].dtype)
-                for k in tent_parts[0]} if tent_parts else None
-        if comb is None:
-            return None
+                for k in tent_parts[0]}
         pos = 0
         for part in tent_parts:
-            m = part["mask"]
-            n = min(int(m.sum()), tcap - pos)
+            n = min(part["xy1"].shape[0], tcap - pos)
             if n <= 0:
                 continue
-            sel = np.where(m)[0][:n]
             for k in comb:
-                comb[k][pos:pos + n] = part[k][sel]
+                comb[k][pos:pos + n] = part[k][:n]
             pos += n
         comb["mask"] = np.zeros(tcap, bool)
         comb["mask"][:pos] = True
@@ -732,6 +857,26 @@ class TwoViewMatcher:
                        n_inl=np.int32(inl.sum()))
             out["xy1_all"] = comb["xy1"]
             out["xy2_all"] = comb["xy2"]
+            if cfg.do_both_ransac_gt:
+                # dual mode (mods.cpp:320-334): also run LO-RANSAC on the
+                # same tentatives and GT-check ITS inliers -> a measure of
+                # RANSAC quality against the oracle.
+                vp = _verify_program(tcap, cfg, *getattr(self, "_wh",
+                                                         (0, 0)))
+                self.key, k = jax.random.split(self.key)
+                with log.phase("RANSACTime"):
+                    r = vp(*[jnp.asarray(comb[k2]) for k2 in
+                             ("xy1", "A1", "s1", "xy2", "A2", "s2",
+                              "prio", "mask")], k)
+                    r = jax.tree.map(np.asarray, r)
+                    rmask = r["inlier_mask"]
+                    rtrue = np.asarray(gt_h_inliers(
+                        jnp.asarray(self._gt_h, jnp.float32),
+                        jnp.asarray(comb["xy1"]),
+                        jnp.asarray(comb["xy2"]),
+                        jnp.asarray(rmask), cfg.ransac.err_threshold))
+                out["extras"] = dict(ransac_matches=int(rmask.sum()),
+                                     ransac_true=int(rtrue.sum()))
             return out
 
         vp = _verify_program(tcap, cfg, *getattr(self, "_wh", (0, 0)))
@@ -751,30 +896,51 @@ class TwoViewMatcher:
         log = TimeLog()
         g1 = np.asarray(to_gray(jnp.asarray(img1)))
         g2 = np.asarray(to_gray(jnp.asarray(img2)))
+        if cfg.do_clahe:
+            # photometric normalization pass (mods.cpp:139-189,
+            # clip limit 4 as set at mods.cpp:144)
+            from mods_tpu.ops.clahe import clahe
+            with log.phase("MiscTime"):
+                g1 = np.asarray(clahe(jnp.asarray(g1), clip_limit=4.0))
+                g2 = np.asarray(clahe(jnp.asarray(g2), clip_limit=4.0))
         self._wh = (max(g1.shape[1], g2.shape[1]),
                     max(g1.shape[0], g2.shape[0]))
+        self._bank = {}
         stores1: dict = {}
         stores2: dict = {}
-        prev1: list = []
-        prev2: list = []
+        prev1: dict = {}      # per-detector accumulated synth views
+        prev2: dict = {}
         best = None
         steps = 0
-        for it in self.ladder[:cfg.max_steps]:
+        rungs = as_rungs(self.ladder)[:cfg.max_steps]
+        for step, rung in enumerate(rungs):
             steps += 1
-            prev1 = self._process_image(g1, it, prev1, stores1, log, 0)
-            prev2 = self._process_image(g2, it, prev2, stores2, log, 1)
-            out = self._match_stores(stores1, stores2, it, log)
+            for it in rung.dets:
+                prev1[it.detector] = self._process_image(
+                    g1, it, prev1.get(it.detector, []), stores1, log, 0)
+                prev2[it.detector] = self._process_image(
+                    g2, it, prev2.get(it.detector, []), stores2, log, 1)
+            # hardcoded tentative drops (mods.cpp:288-289)
+            for cstep, cdet, cdesc in cfg.clear_tentatives:
+                if step == cstep:
+                    self._bank.pop((cdet, cdesc), None)
+            self._execute_plan(stores1, stores2, rung, log)
+            out = self._verify_bank(log)
             if out is None:
                 continue
             n_inl = int(out["n_inl"])
+            # dual GR_TRUTH mode stops on the RANSAC match count
+            # (mods.cpp:412-414)
+            n_stop = out.get("extras", {}).get("ransac_matches", n_inl)
             if best is None or n_inl > best[0]:
                 inl = out["inlier_mask"]
                 best = (n_inl, MatchResult(
                     H=np.asarray(out["model"]),
                     xy1=out["xy1_all"][inl], xy2=out["xy2_all"][inl],
                     n_matches=n_inl, n_tentatives=int(out["n_tent"]),
-                    steps_used=steps, log=log))
-            if n_inl >= cfg.min_matches:
+                    steps_used=steps, log=log,
+                    extras=out.get("extras", {})))
+            if n_stop >= cfg.min_matches:
                 break
         log.finalize()
         if best is None:

@@ -188,6 +188,16 @@ def ransac_f(xy1: jax.Array, xy2: jax.Array, mask: jax.Array,
         e = err_fn(F.reshape(-1, 3, 3), xy1, xy2).reshape(B, 3, n)
         cnt = jnp.sum((e < th) & mask[None, None, :], axis=-1)
         ok = rvalid & ori & distinct[:, None]
+        if pars.do_symm_check:
+            # symmetric-distance cross-check (exp_ranF.c:926-938): a
+            # candidate is bad when its symmetric-epipolar inliers at
+            # CHECK_COEF*th don't reach SYMM_COEF of its Sampson count
+            es = E.f_error_symepi(
+                F.reshape(-1, 3, 3), xy1, xy2).reshape(B, 3, n)
+            scnt = jnp.sum((es < 4.0 * th) & mask[None, None, :],
+                           axis=-1)
+            ok = ok & (scnt.astype(jnp.float32)
+                       > jnp.floor(0.6 * cnt.astype(jnp.float32)))
         cnt = jnp.where(ok, cnt, -1)
         flat = jnp.argmax(cnt)
         bi, ri = flat // 3, flat % 3

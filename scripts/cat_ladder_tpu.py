@@ -50,19 +50,28 @@ cfg = EngineConfig(
                         max_rounds=4),
     min_matches=10)
 
+from mods_tpu.config import as_rungs
+
 m = TwoViewMatcher(ladder, cfg)
+m._bank = {}
 g1 = np.asarray(to_gray(jnp.asarray(img1)))
 g2 = np.asarray(to_gray(jnp.asarray(img2)))
+m._wh = (max(g1.shape[1], g2.shape[1]), max(g1.shape[0], g2.shape[0]))
 stores1, stores2 = {}, {}
-prev1, prev2 = [], []
+prev1, prev2 = {}, {}
 log = TimeLog()
 
-for ri, it in enumerate(ladder):
+for ri, rung in enumerate(as_rungs(ladder)):
+    it = rung.dets[0]
     t0 = time.time()
-    prev1 = m._process_image(g1, it, prev1, stores1, log)
-    prev2 = m._process_image(g2, it, prev2, stores2, log)
+    for it_ in rung.dets:
+        prev1[it_.detector] = m._process_image(
+            g1, it_, prev1.get(it_.detector, []), stores1, log)
+        prev2[it_.detector] = m._process_image(
+            g2, it_, prev2.get(it_.detector, []), stores2, log)
     t1 = time.time()
-    out = m._match_stores(stores1, stores2, it, log)
+    m._execute_plan(stores1, stores2, rung, log)
+    out = m._verify_bank(log)
     t2 = time.time()
     c1 = {k: v.count for k, v in stores1.items()}
     c2 = {k: v.count for k, v in stores2.items()}

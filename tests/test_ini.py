@@ -13,18 +13,29 @@ def test_parse_cviu_ladder():
     assert steps == 7
     assert min_matches == 10
     assert len(ladder) == 7
-    assert ladder[0].detector == "ORB"
-    assert ladder[0].tilt_set == (1.0,)
-    assert ladder[1].tilt_set == (1.0, 5.0, 9.0)
-    assert ladder[2].detector == "MSER"
-    assert ladder[2].scale_set == (1.0, 0.25, 0.125)
-    assert ladder[2].descriptors == ("RootSIFT",)
-    assert ladder[2].fginn_threshold == (0.85,)
-    assert ladder[4].detector == "HessianAffine"
-    assert ladder[4].phi_base == 360.0
-    assert ladder[5].phi_base == 120.0
-    assert ladder[6].phi_base == 60.0
-    assert ladder[4].tilt_set == (1.0, 2.0, 4.0, 6.0, 8.0)
+    dets = [r.dets[0] for r in ladder]
+    assert dets[0].detector == "ORB"
+    assert dets[0].tilt_set == (1.0,)
+    assert dets[1].tilt_set == (1.0, 5.0, 9.0)
+    assert dets[2].detector == "MSER"
+    assert dets[2].scale_set == (1.0, 0.25, 0.125)
+    assert dets[2].descriptors == ("RootSIFT",)
+    assert dets[2].fginn_threshold == (0.85,)
+    assert dets[4].detector == "HessianAffine"
+    assert dets[4].phi_base == 360.0
+    assert dets[5].phi_base == 120.0
+    assert dets[6].phi_base == 60.0
+    assert dets[4].tilt_set == (1.0, 2.0, 4.0, 6.0, 8.0)
+    # per-rung matching plans ([MatchingN], io_mods.cpp:487-501)
+    assert ladder[0].plan.separate_detectors == ("ORB",)
+    assert ladder[1].plan.separate_descriptors == ("ORB",)
+    assert ladder[2].plan.separate_detectors == ("MSER", "ORB")
+    assert ladder[2].plan.separate_descriptors == ("RootSIFT", "ORB")
+    assert ladder[4].plan.separate_detectors == ("MSER", "HessianAffine")
+    assert ladder[4].plan.group_detectors == ()
+    # ORB's distance threshold rides the iteration section
+    assert dets[0].distance_for("ORB") == 60.0
+    assert dets[0].fginn_for("ORB") == 0.0
 
 
 def test_parse_detector_cfg():

@@ -1,0 +1,83 @@
+"""Parallel-layer tests on the forced 8-device CPU mesh: sharded kNN,
+pair-sharded batched matching, and the global early-stop decision
+(SURVEY.md §5.8; mods_multi.cpp:229-234)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mods_tpu.parallel.mesh import (global_stop_decision, make_mesh,
+                                    sharded_knn)
+
+
+def _require_devices(n):
+    if jax.device_count() < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_make_mesh_axes():
+    _require_devices(8)
+    mesh = make_mesh({"pair": 4, "kp": 2})
+    assert mesh.shape == {"pair": 4, "kp": 2}
+
+
+def test_sharded_knn_matches_dense():
+    _require_devices(8)
+    mesh = make_mesh({"kp": 8})
+    rng = np.random.default_rng(0)
+    d1 = rng.normal(size=(96, 32)).astype(np.float32)
+    d2 = rng.normal(size=(256, 32)).astype(np.float32)
+    knn = sharded_knn(mesh, knn=8)
+    dists, idx = jax.jit(knn)(jnp.asarray(d1), jnp.asarray(d2))
+    # dense reference
+    dd = ((d1 * d1).sum(-1)[:, None] + (d2 * d2).sum(-1)[None, :]
+          - 2.0 * d1 @ d2.T)
+    ref_idx = np.argsort(dd, axis=1)[:, :8]
+    ref_d = np.take_along_axis(dd, ref_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(dists), ref_d, atol=1e-2)
+    # indices agree where distances are distinct
+    same = np.isclose(ref_d[:, :1], ref_d[:, 1:2])
+    assert (np.asarray(idx[:, 0]) == ref_idx[:, 0])[~same[:, 0]].all()
+
+
+def test_batched_pair_step_shards_over_pairs():
+    _require_devices(8)
+    from mods_tpu.config import CapacityParams, RansacParams
+    from mods_tpu.models.flagship import batched_pair_step
+    from mods_tpu.pipeline import EngineConfig
+
+    mesh = make_mesh({"pair": 8})
+    cfg = EngineConfig(
+        caps=CapacityParams(per_octave=128, per_view=128, per_image=256,
+                            max_angles=1),
+        ransac=RansacParams(batch_hypotheses=64, max_rounds=1))
+
+    rng = np.random.default_rng(0)
+    base = np.kron(rng.uniform(0, 255, (16, 16)).astype(np.float32),
+                   np.ones((8, 8), np.float32))
+    P_n = 8
+    imgs1 = jnp.stack([jnp.asarray(base + i) for i in range(P_n)])
+    imgs2 = imgs1 + 0.5
+    keys = jax.random.split(jax.random.PRNGKey(0), P_n)
+
+    spec = NamedSharding(mesh, P("pair"))
+    imgs1 = jax.device_put(imgs1, spec)
+    imgs2 = jax.device_put(imgs2, spec)
+    keys = jax.device_put(keys, spec)
+
+    out = jax.jit(lambda a, b, k: batched_pair_step(a, b, k, cfg))(
+        imgs1, imgs2, keys)
+    out = jax.tree.map(np.asarray, out)
+    assert out["n_inliers"].shape == (P_n,)
+    # identical-content pairs must match well on every shard
+    assert (out["n_inliers"] >= 8).all(), out["n_inliers"]
+
+
+def test_global_stop_decision():
+    counts = jnp.asarray([12, 3, 40])
+    assert not bool(global_stop_decision(counts, 10))
+    assert bool(global_stop_decision(jnp.asarray([12, 11]), 10))
+    # any-matched variant (GetAtLeastOneImageMatch semantics)
+    assert bool(jnp.any(counts >= 10))
