@@ -73,7 +73,10 @@ def cmd_match(argv: list[str]) -> int:
     if gt_h_path:
         from mods_tpu.verify import load_h_file
         gt_h = load_h_file(gt_h_path)
-    matcher = TwoViewMatcher(ladder, cfg)
+    # per-phase wall-clock attribution (reference time.log parity) needs
+    # sync points at phase boundaries; skip them when no log is written
+    matcher = TwoViewMatcher(ladder, cfg,
+                             sync_timing=bool(logf and logf != "0"))
     img1, img2 = _load_image(img1p), _load_image(img2p)
     res = matcher.match(img1, img2, gt_h=gt_h)
     print(f"Matches: {res.n_matches} (tentatives {res.n_tentatives}, "
@@ -200,22 +203,77 @@ def cmd_extract_benchmark(argv: list[str]) -> int:
 
 
 def cmd_match_multi(argv: list[str]) -> int:
-    """mods_multi equivalent: query vs image list (mods_multi.cpp)."""
-    from mods_tpu.pipeline import TwoViewMatcher
+    """mods_multi equivalent: query vs image list, gallery batched over
+    the ``pair`` mesh axis with the GetAtLeastOneImageMatch early stop
+    (mods_multi.cpp:229-260).
+
+    args: query list [config] [iters] [log_prefix] [out_prefix]
+    """
+    import os
 
     query = argv[0]
     list_file = argv[1]
     cfg, ladder = _build_engine(argv[2] if len(argv) > 2 else None,
                                 argv[3] if len(argv) > 3 else None)
+    log_prefix = argv[4] if len(argv) > 4 else ""
+    out_prefix = argv[5] if len(argv) > 5 else ""
     with open(list_file) as f:
         paths = [ln.strip() for ln in f if ln.strip()]
     qimg = _load_image(query)
-    matcher = TwoViewMatcher(ladder, cfg)
-    results = []
-    for p in paths:
-        res = matcher.match(qimg, _load_image(p))
-        results.append((p, res.n_matches))
-        print(f"{p}: {res.n_matches} matches")
+    imgs = [_load_image(p) for p in paths]
+
+    from mods_tpu.config import as_rungs
+    from mods_tpu.parallel.multi import MultiMatcher
+    from mods_tpu.parallel.mesh import make_mesh
+    from mods_tpu.pipeline import DEVICE_DETECTORS, TwoViewMatcher
+    import jax
+
+    dets = {d.detector for r in as_rungs(ladder or []) for d in r.dets}
+    device_only = dets.issubset(set(DEVICE_DETECTORS)) if dets else True
+    if device_only:
+        mesh = make_mesh() if jax.device_count() > 1 else None
+        m = MultiMatcher(ladder, cfg, mesh=mesh)
+        res = m.match(qimg, imgs)
+        counts = res.counts
+        tents = res.n_tentatives
+        steps = [res.steps_used] * len(paths)
+        pairs = list(zip(res.xy1, res.xy2))
+        total_time = res.log.times["TotalTime"]
+    else:
+        # host-stage detectors (MSER/ReadAffs): serial gallery loop,
+        # exactly the reference's structure (mods_multi.cpp:250+)
+        matcher = TwoViewMatcher(ladder, cfg)
+        counts, tents, steps, pairs = [], [], [], []
+        total_time = 0.0
+        for img in imgs:
+            r = matcher.match(qimg, img)
+            counts.append(r.n_matches)
+            tents.append(r.n_tentatives)
+            steps.append(r.steps_used)
+            pairs.append((r.xy1, r.xy2))
+            total_time += r.log.times["TotalTime"]
+
+    # per-gallery-image artifacts (mods_multi.cpp:386-433):
+    # <log_prefix>-<img2 basename>.log + optional match drawings
+    from mods_tpu.timing import RunLog
+    for i, p in enumerate(paths):
+        n, t = int(counts[i]), int(tents[i])
+        print(f"{p}: {n} matches ({t} tentatives)")
+        prefix = os.path.splitext(os.path.basename(p))[0]
+        if log_prefix and log_prefix not in ("0", "none"):
+            RunLog(tentatives=t, true_matches=n,
+                   inlier_ratio=n / max(t, 1), steps=int(steps[i]),
+                   total_time=total_time,
+                   ver_type="LORANSACH").write(
+                f"{log_prefix}-{prefix}.log")
+        if out_prefix and out_prefix not in ("0", "none"):
+            from mods_tpu import viz
+            xy1, xy2 = pairs[i]
+            viz.save_image(f"{out_prefix}{prefix}-1.png",
+                           viz.draw_matches(qimg, imgs[i], xy1, xy2))
+    matched = sum(1 for c in counts if int(c) >= cfg.min_matches)
+    print(f"{matched}/{len(paths)} gallery images matched "
+          f"(minMatches={cfg.min_matches})")
     return 0
 
 

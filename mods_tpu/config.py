@@ -46,6 +46,17 @@ class PyramidParams:
     border: int = 5
     detector_mode: str = DetectionMode.FIXED_TH
     detector_type: str = DetectorType.HESSIAN
+    # intensity-independent DoG (iiDoGMode, pyramid.cpp:145-152,198-220)
+    ii_dog: bool = False
+    # WLD intensity normalization of responses (doOnWLD,
+    # pyramid.cpp:492-505; WLDParams structures.hpp:113-124)
+    do_on_wld: bool = False
+    wld_a: float = 3.0
+    wld_b: float = 5.0
+    wld_g: float = 5.0
+    # TILDE filter file when detector_type == "TILDE"
+    # (TILDEResponse, pyramid.cpp:182-197)
+    tilde_filters: str = ""
 
 
 @dataclass(frozen=True)

@@ -15,6 +15,7 @@ Shapes: images are (V, H, W) float32, responses per octave are
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -51,6 +52,46 @@ def dog_response(img: jax.Array, sigma: float) -> jax.Array:
     """The reference's per-level DoG: img - blur(img, sigma^2)
     (pyramid.cpp:176-181 — note it blurs by `norm` = sigma squared)."""
     return img - gaussian_blur(img, sigma * sigma)
+
+
+def iidog_response(img: jax.Array, sigma: float) -> jax.Array:
+    """Intensity-independent DoG (iidogResponse, pyramid.cpp:198-220):
+    the DoG divided by the local mean intensity, out = DoG * 255/(I+B)
+    where I+B < 255 (contrast normalization for dark regions)."""
+    blur = gaussian_blur(img, sigma * sigma)
+    dog = img - blur
+    s = img + blur
+    return jnp.where(s < 255.0, dog * (255.0 / jnp.maximum(s, 1e-6)), dog)
+
+
+@functools.lru_cache(maxsize=4)
+def _tilde_ss_filters(path: str):
+    from mods_tpu.detectors.tilde import (load_tilde_filters,
+                                          procedural_filters)
+    return (load_tilde_filters(path)[:2] if path
+            else procedural_filters())
+
+
+def tilde_ss_response(img: jax.Array, sigma: float,
+                      filters_path: str = "") -> jax.Array:
+    """TILDE filter bank as a scale-space response (TILDEResponse,
+    pyramid.cpp:182-197 — `norm` is ignored by the reference too)."""
+    from mods_tpu.detectors.tilde import tilde_response
+    W, b = _tilde_ss_filters(filters_path)
+    if img.ndim == 2:
+        return tilde_response(img, W, b)
+    lead = img.shape[:-2]
+    flat = img.reshape((-1,) + img.shape[-2:])
+    out = jax.vmap(lambda im: tilde_response(im, W, b))(flat)
+    return out.reshape(lead + out.shape[-2:])
+
+
+def wld_coef(intensity: jax.Array, a: float, b: float,
+             g: float) -> jax.Array:
+    """WLD intensity normalization coefficient (intensityNormCoef,
+    pyramid.cpp:35-38): a / (I/g + b + eps); responses are scaled by its
+    square (pyramid.cpp:492-505)."""
+    return a / (intensity / g + b + 1e-10)
 
 
 def harris_response(img: jax.Array, sigma: float) -> jax.Array:
@@ -98,7 +139,13 @@ def build_pyramid(imgs: jax.Array, p: PyramidParams,
     (reference detectOctaveKeypoints pyramid.cpp:455-538,
     detectPyramidKeypoints :540-573).  imgs: (V, H, W), assumed to carry
     sigma=0.5 of pre-smoothing (camera blur)."""
-    resp_fn = _RESPONSE_FNS[p.detector_type]
+    if p.detector_type == "TILDE":
+        resp_fn = functools.partial(tilde_ss_response,
+                                    filters_path=p.tilde_filters)
+    elif p.detector_type == DetectorType.DOG and p.ii_dog:
+        resp_fn = iidog_response
+    else:
+        resp_fn = _RESPONSE_FNS[p.detector_type]
     L = p.n_scales
     step = 2.0 ** (1.0 / L)
     cur_sigma = 0.5
@@ -118,6 +165,13 @@ def build_pyramid(imgs: jax.Array, p: PyramidParams,
             inc = sigmas[i - 1] * math.sqrt(step * step - 1.0)
             blurs.append(gaussian_blur(blurs[-1], inc))
         resps = [resp_fn(b, s) for b, s in zip(blurs, sigmas)]
+        if p.do_on_wld:
+            # WLD intensity normalization (pyramid.cpp:492-505): levels
+            # past the octave's first are scaled by coef(I)^2; the
+            # reference leaves level 0 unnormalized — mirrored here
+            resps = [resps[0]] + [
+                rr * wld_coef(bb, p.wld_a, p.wld_b, p.wld_g) ** 2
+                for rr, bb in zip(resps[1:], blurs[1:])]
         octaves.append(Octave(
             blurs=jnp.stack(blurs, axis=1),
             resps=jnp.stack(resps, axis=1),

@@ -129,6 +129,9 @@ def parse_detector_config(ini: dict, section: str = "HessianAffine"
         border=int(g("border", 5)),
         detector_mode=mode_map.get(mode, DetectionMode.FIXED_TH),
         detector_type=det_type,
+        ii_dog=bool(int(g("iiDoGMode", 0))),
+        do_on_wld=bool(int(g("doOnWLD", 0))),
+        wld_a=g("WLDa", 3.0), wld_b=g("WLDb", 5.0), wld_g=g("WLDg", 5.0),
     )
 
 

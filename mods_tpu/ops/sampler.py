@@ -22,10 +22,11 @@ returns ``fill``.  Supported patch extent is ±63 px around the center
 in source-level pixels — callers bound this via mip/octave level
 selection (see mip_stack / select_level).
 
-Window geometry: origins are quantized to 8 rows / 128 lanes so the
-same windows can be DMA'd by the Pallas twin of this routine
-(mods_tpu/ops/sampler_pallas.py); source canvases must therefore be at
-least 136 x 256 with H % 8 == W % 128 == 0 (pad_canvas helps).
+Window geometry: origins are quantized to 8 rows / 128 lanes —
+sublane/lane-aligned so window reads stay tiling-friendly (and a
+future Pallas DMA formulation can reuse them unchanged); source
+canvases must therefore be at least 136 x 256 with
+H % 8 == W % 128 == 0 (pad_canvas helps).
 """
 
 from __future__ import annotations
@@ -166,8 +167,7 @@ def sample_from_windows(ws: WindowSource, xy: jax.Array, A: jax.Array,
 def sample_affine_patches(src: jax.Array, lvl: jax.Array, xy: jax.Array,
                           A: jax.Array, patch_size: int,
                           valid_hw: jax.Array, fill: float = 0.0,
-                          chunk: int = 256,
-                          impl: str | None = None) -> jax.Array:
+                          chunk: int = 256) -> jax.Array:
     """Batched affine patch sampling from a level stack.
 
     src: (L, H, W) canvas stack (H % 8 == 0, W % 128 == 0, H >= 136,
@@ -180,24 +180,8 @@ def sample_affine_patches(src: jax.Array, lvl: jax.Array, xy: jax.Array,
     patch[k, j, i] = src[lvl_k](xy_k + A_k @ [di, dj]), bilinear, with
     the reference's out-of-bounds fill semantics.
     """
-    if impl is None:
-        impl = _default_impl()
-    if impl == "pallas":
-        from mods_tpu.ops.sampler_pallas import sample_affine_patches_pallas
-        return sample_affine_patches_pallas(
-            src, lvl, xy, A, patch_size, valid_hw, fill)
-
     ws = prepare_windows(src, lvl, xy, valid_hw)
     return sample_from_windows(ws, xy, A, patch_size, fill, chunk)
-
-
-def _default_impl() -> str:
-    import jax as _jax
-    try:
-        plat = _jax.default_backend()
-    except Exception:
-        plat = "cpu"
-    return "xla" if plat == "cpu" else "xla"  # pallas opt-in for now
 
 
 # ---------------------------------------------------------------------------

@@ -40,8 +40,9 @@ def make_mesh(axis_sizes: dict[str, int] | None = None,
         axis_sizes = {"pair": n}
     names = tuple(axis_sizes.keys())
     sizes = tuple(axis_sizes.values())
-    assert int(np.prod(sizes)) == n, (sizes, n)
-    arr = np.asarray(devices).reshape(sizes)
+    need = int(np.prod(sizes))
+    assert need <= n, (sizes, n)
+    arr = np.asarray(devices[:need]).reshape(sizes)
     return Mesh(arr, names)
 
 

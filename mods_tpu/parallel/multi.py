@@ -1,0 +1,320 @@
+"""One-vs-many matching over the ``pair`` mesh axis — the TPU redesign
+of mods_multi.cpp.
+
+The reference loops gallery images serially (mods_multi.cpp:232-260) and
+escalates until at least one image matches (GetAtLeastOneImageMatch,
+:229-234).  Here the gallery IS a batch axis: every per-group program of
+the two-view engine is vmapped over a leading (P,) axis and the inputs
+are placed with a NamedSharding over the mesh's ``pair`` axis, so XLA
+splits gallery images across chips and the early-stop reduction is the
+only cross-chip collective.  On one chip the same program simply runs
+the batch densely — one dispatch for the whole gallery per view group.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mods_tpu import synthesis
+from mods_tpu.config import as_rungs
+from mods_tpu.descriptors.registry import get_spec
+from mods_tpu.ops.image import round_up, to_gray
+from mods_tpu.pipeline import (DEVICE_DETECTORS, DeviceStore, EngineConfig,
+                               TwoViewMatcher, _fused_group_program,
+                               _match_pair_program, _verify_bank_program)
+from mods_tpu.timing import TimeLog
+
+
+@functools.lru_cache(maxsize=256)
+def _batched_group_program(P: int, V: int, h0: int, w0: int, hr: int,
+                           wr: int, hc: int, wc: int, sigma_x: float,
+                           sigma_y: float, sx: float, sy: float,
+                           do_blur: bool, identity: bool, det: str,
+                           specs: tuple, cfg: EngineConfig):
+    """The fused per-group program vmapped over the gallery axis."""
+    base = _fused_group_program.__wrapped__(
+        V, h0, w0, hr, wr, hc, wc, sigma_x, sigma_y, sx, sy, do_blur,
+        identity, det, specs, cfg)
+    # __wrapped__ gives the jitted program; vmap composes fine with it
+    return jax.jit(jax.vmap(base, in_axes=(0, 0, 0, None, 0)))
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_append_program(P: int, C: int, cap: int, dim: int):
+    from mods_tpu.pipeline import _append_program
+    base = _append_program.__wrapped__(C, cap, dim)
+    return jax.jit(jax.vmap(base), donate_argnums=(0, 1, 2, 3, 4))
+
+
+class BatchedDeviceStore:
+    """DeviceStore with a leading gallery axis (P, cap, ...)."""
+
+    def __init__(self, P: int, cap: int, dim: int):
+        self.P, self.cap, self.dim = P, cap, dim
+        self._xy = jnp.zeros((P, cap, 2), jnp.float32)
+        self._A = jnp.zeros((P, cap, 2, 2), jnp.float32)
+        self._s = jnp.zeros((P, cap), jnp.float32)
+        self._r = jnp.zeros((P, cap), jnp.float32)
+        self._d = jnp.zeros((P, cap, dim), jnp.float32)
+        self._n = jnp.zeros((P,), jnp.int32)
+
+    def append(self, part: dict) -> None:
+        prog = _batched_append_program(self.P, part["xy"].shape[1],
+                                       self.cap, self.dim)
+        (self._xy, self._A, self._s, self._r, self._d, self._n) = prog(
+            self._xy, self._A, self._s, self._r, self._d, self._n,
+            part["xy"], part["A"], part["s"], part["response"],
+            part["desc"], part["n"])
+
+    def device_arrays(self):
+        return self._xy, self._A, self._s, self._d, self._n
+
+
+@dataclass
+class MultiResult:
+    """Per-gallery-image outcomes of a one-vs-many run."""
+    counts: np.ndarray          # (P,) verified matches per gallery image
+    n_tentatives: np.ndarray    # (P,)
+    steps_used: int
+    log: "TimeLog"
+    xy1: list                   # per-gallery (Ni, 2) matched query points
+    xy2: list
+    H: np.ndarray               # (P, 3, 3) estimated models
+
+
+def _pad_gallery(imgs: list[np.ndarray]):
+    """Stack differently-sized gallery images onto one gray canvas."""
+    hs = [im.shape[0] for im in imgs]
+    ws = [im.shape[1] for im in imgs]
+    H, W = max(hs), max(ws)
+    out = np.full((len(imgs), H, W), 128.0, np.float32)
+    for i, im in enumerate(imgs):
+        out[i, : im.shape[0], : im.shape[1]] = im
+    return out, list(zip(hs, ws))
+
+
+class MultiMatcher:
+    """Query vs gallery escalation matcher (mods_multi.cpp main loop)."""
+
+    def __init__(self, ladder=None, cfg: EngineConfig = EngineConfig(),
+                 seed: int = 0, mesh=None):
+        self.cfg = cfg
+        self.ladder = ladder
+        self.mesh = mesh
+        self.qmatcher = TwoViewMatcher(ladder, cfg, seed=seed)
+        self.key = jax.random.PRNGKey(seed + 1)
+
+    def _shard_pair(self, x):
+        if self.mesh is None or "pair" not in self.mesh.axis_names:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*(("pair",) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _process_gallery(self, imgs, sizes, it, prev_views, stores, log):
+        """Batched SynthDetectDescribe over the gallery axis.  Mirrors
+        TwoViewMatcher._process_image with a leading (P,) dim; only
+        device detectors are supported on this axis (MSER galleries fall
+        back to the serial CLI path)."""
+        cfg = self.cfg
+        if it.detector not in DEVICE_DETECTORS:
+            raise NotImplementedError(
+                f"{it.detector} needs a host stage; use the serial path")
+        P_n = imgs.shape[0]
+        views, prev_views = synthesis.expand_views(it, prev_views)
+        # per-image plans (sizes differ); groups are size-independent
+        plans_per_img = [[synthesis.plan_view(v, w, h) for v in views]
+                         for (h, w) in sizes]
+        imgs_j = self._shard_pair(jnp.asarray(imgs))
+        pe = cfg.sift.patch_extraction
+        n_groups = len(synthesis.group_views(plans_per_img[0]))
+        grouped = [synthesis.group_views(p) for p in plans_per_img]
+        assert all(len(g) == n_groups for g in grouped)
+        for gi in range(n_groups):
+            pgroups = [g[gi] for g in grouped]      # per image, this group
+            V = len(pgroups[0])
+            p0 = pgroups[0][0]
+            h0, w0 = imgs.shape[1], imgs.shape[2]
+            if p0.identity:
+                hr = wr = 0
+                hc, wc = round_up(h0, 128), round_up(w0, 128)
+                rot_inv = np.zeros((P_n, V, 2, 3), np.float32)
+            else:
+                hr = max(p.h_rot for g in pgroups for p in g)
+                wr = max(p.w_rot for g in pgroups for p in g)
+                hc = round_up(max(p.h_new for g in pgroups for p in g),
+                              128)
+                wc = round_up(max(p.w_new for g in pgroups for p in g),
+                              128)
+                rot_inv = np.zeros((P_n, V, 2, 3), np.float32)
+                for i, g in enumerate(pgroups):
+                    for v, p in enumerate(g):
+                        a, b, tx, c, d, ty = p.rot
+                        det_ = a * d - b * c
+                        ia, ib = d / det_, -b / det_
+                        ic, id_ = -c / det_, a / det_
+                        rot_inv[i, v] = [
+                            [ia, ib, -(ia * tx + ib * ty)],
+                            [ic, id_, -(ic * tx + id_ * ty)]]
+            valid_hw = np.asarray(
+                [[[p.h_new, p.w_new] for p in g] for g in pgroups],
+                np.int32)
+            hinv = np.asarray(
+                [[np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
+                                )[:2, :] for p in g] for g in pgroups],
+                np.float32)
+            prog = _batched_group_program(
+                P_n, V, h0, w0, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
+                p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                p0.identity, it.detector, tuple(it.descriptors), cfg)
+            with log.phase("DetectTime"):
+                out = prog(imgs_j, self._shard_pair(jnp.asarray(rot_inv)),
+                           self._shard_pair(jnp.asarray(valid_hw)),
+                           self.qmatcher._region_budgets(pgroups[0],
+                                                         it.detector),
+                           self._shard_pair(jnp.asarray(hinv)))
+            for name, d in out.items():
+                key = (it.detector, name)
+                st = stores.get(key)
+                if st is None:
+                    stores[key] = st = BatchedDeviceStore(
+                        P_n, cfg.caps.per_image, get_spec(name).dim)
+                st.append(d)
+        return prev_views
+
+    def match(self, query_img, gallery_imgs: list,
+              stop_at_first: bool = True):
+        """Returns a MultiResult.  Escalates until at least one gallery
+        image reaches min_matches (GetAtLeastOneImageMatch,
+        mods_multi.cpp:229-234), or all do when ``stop_at_first`` is
+        False."""
+        cfg = self.cfg
+        log = TimeLog()
+        q = np.asarray(to_gray(jnp.asarray(query_img)))
+        gal = [np.asarray(to_gray(jnp.asarray(g))) for g in gallery_imgs]
+        imgs, sizes = _pad_gallery(gal)
+        P_n = imgs.shape[0]
+        self.qmatcher._wh = (max(q.shape[1], imgs.shape[2]),
+                             max(q.shape[0], imgs.shape[1]))
+
+        qstores: dict = {}
+        gstores: dict = {}
+        qprev: dict = {}
+        gprev: dict = {}
+        bank: dict = {}
+        counts = np.zeros(P_n, np.int32)
+        steps = 0
+        from mods_tpu.config import IterationParams
+        ladder = self.ladder if self.ladder else [IterationParams()]
+        rungs = as_rungs(ladder)[:cfg.max_steps]
+        last_out = None
+        for step, rung in enumerate(rungs):
+            steps += 1
+            for it in rung.dets:
+                qprev[it.detector] = self.qmatcher._process_image(
+                    q, it, qprev.get(it.detector, []), qstores, log, 0)
+                gprev[it.detector] = self._process_gallery(
+                    imgs, sizes, it, gprev.get(it.detector, []),
+                    gstores, log)
+            for cstep, cdet, cdesc in cfg.clear_tentatives:
+                if step == cstep:
+                    bank.pop((cdet, cdesc), None)
+            self._execute_plan(qstores, gstores, rung, bank, log)
+            out = self._verify_bank(bank, log)
+            if out is None:
+                continue
+            last_out = out
+            counts = np.asarray(out["n_inl"])
+            matched = counts >= cfg.min_matches
+            if (stop_at_first and matched.any()) or matched.all():
+                break
+        log.finalize()
+        xy1, xy2 = [], []
+        H = np.tile(np.eye(3, dtype=np.float32), (P_n, 1, 1))
+        n_tent = np.zeros(P_n, np.int32)
+        if last_out is not None:
+            inl = np.asarray(last_out["inlier_mask"])
+            a1 = np.asarray(last_out["xy1_all"])
+            a2 = np.asarray(last_out["xy2_all"])
+            H = np.asarray(last_out["model"])
+            n_tent = np.asarray(last_out["n_tent"])
+            for i in range(P_n):
+                xy1.append(a1[i][inl[i]])
+                xy2.append(a2[i][inl[i]])
+        else:
+            xy1 = [np.zeros((0, 2))] * P_n
+            xy2 = [np.zeros((0, 2))] * P_n
+        return MultiResult(counts=counts, n_tentatives=n_tent,
+                           steps_used=steps, log=log, xy1=xy1, xy2=xy2,
+                           H=H)
+
+    # -- batched matching over the gallery axis ---------------------------
+
+    def _execute_plan(self, qstores, gstores, rung, bank, log):
+        cfg = self.cfg
+        plan = rung.plan or rung.default_plan()
+
+        def run(key, qparts, gparts, ratio, dist_thr, spec):
+            bank.pop(key, None)
+            if not (qparts and gparts):
+                return
+            prog = _match_pair_program(
+                len(qparts), len(gparts), cfg.caps.per_image, spec.dim,
+                cfg.match.knn, cfg.match.contrad_dist,
+                cfg.match.duplicate_mode, ratio > 0, dist_thr > 0,
+                spec.kind == "binary", cfg.match.standard_2nd_closest,
+                False)
+            vprog = jax.vmap(
+                prog, in_axes=(None, 0, None, None))
+            parts = vprog(tuple(p.device_arrays() for p in qparts),
+                          tuple(p.device_arrays() for p in gparts),
+                          jnp.float32(ratio), jnp.float32(dist_thr))
+            if parts:
+                bank[key] = parts
+
+        for desc in plan.group_descriptors:
+            spec = get_spec(desc)
+            qp = [qstores[(d, desc)] for d in plan.group_detectors
+                  if (d, desc) in qstores]
+            gp = [gstores[(d, desc)] for d in plan.group_detectors
+                  if (d, desc) in gstores]
+            with log.phase("MatchingTime"):
+                run(("Group", desc), qp, gp, cfg.match.group_fginn(desc),
+                    cfg.match.group_distance(desc), spec)
+
+        rung_dets = {d.detector: d for d in rung.dets}
+        for det in plan.separate_detectors:
+            it = rung_dets.get(det)
+            if it is None:
+                continue
+            for desc in plan.separate_descriptors:
+                key = (det, desc)
+                if key not in qstores or key not in gstores:
+                    bank.pop(key, None)
+                    continue
+                with log.phase("MatchingTime"):
+                    run(key, [qstores[key]], [gstores[key]],
+                        it.fginn_for(desc), it.distance_for(desc),
+                        get_spec(desc))
+
+    def _verify_bank(self, bank, log):
+        cfg = self.cfg
+        tent_parts = [p for parts in bank.values() for p in parts]
+        if not tent_parts:
+            return None
+        tcap = cfg.caps.tentatives
+        rows = tuple(int(p["mask"].shape[1]) for p in tent_parts)
+        P_n = tent_parts[0]["mask"].shape[0]
+        w, h = self.qmatcher._wh
+        vp = _verify_bank_program(rows, tcap, cfg, w, h, False, False)
+        vvp = jax.vmap(vp, in_axes=(0, 0))
+        self.key, k = jax.random.split(self.key)
+        keys = jax.random.split(k, P_n)
+        with log.phase("RANSACTime"):
+            out = vvp(tuple(tent_parts), keys)
+        return out

@@ -28,7 +28,7 @@ from mods_tpu.config import (AffineShapeParams, CapacityParams,
                              DominantOrientationParams, IterationParams,
                              MatchParams, MatchPlan, OrsaParams,
                              PyramidParams, RansacParams, Rung,
-                             SIFTDescriptorParams, as_rungs)
+                             SIFTDescriptorParams, as_rungs, replace)
 from mods_tpu.descriptors.describe import (extract_descriptor_patches,
                                            image_to_patch_scale)
 from mods_tpu.descriptors.orientation import detect_orientations, \
@@ -140,17 +140,89 @@ class FeatureStore:
         return xy, A, s, desc, mask
 
 
+@functools.lru_cache(maxsize=64)
+def _append_program(C: int, cap: int, dim: int):
+    """Scatter a front-compacted (C, ...) slab into fixed (cap, ...)
+    feature buffers at offset ``count`` — rows past the capacity are
+    dropped (the reference's region budget behaves the same way,
+    scale-space-detector.cpp:50-51)."""
+    def program(bxy, bA, bs, br, bd, cnt, xy, A, s, r, d, n):
+        pos = cnt + jnp.arange(C, dtype=jnp.int32)
+        pos = jnp.where((jnp.arange(C) < n) & (pos < cap), pos, cap)
+        bxy = bxy.at[pos].set(xy, mode="drop")
+        bA = bA.at[pos].set(A, mode="drop")
+        bs = bs.at[pos].set(s, mode="drop")
+        br = br.at[pos].set(r, mode="drop")
+        bd = bd.at[pos].set(d, mode="drop")
+        return bxy, bA, bs, br, bd, jnp.minimum(cnt + n, cap)
+
+    return jax.jit(program, donate_argnums=(0, 1, 2, 3, 4))
+
+
+class DeviceStore:
+    """Device-resident fixed-capacity feature store of one image for one
+    (detector, descriptor) — the TPU redesign of the reference's
+    ImageRepresentation slot (imagerepresentation.h:66).  Appends and
+    reads are compiled programs; nothing crosses to the host until a
+    consumer explicitly asks (``.xy``/``.count`` properties)."""
+
+    def __init__(self, cap: int, dim: int):
+        self.cap = cap
+        self.dim = dim
+        self._xy = jnp.zeros((cap, 2), jnp.float32)
+        self._A = jnp.zeros((cap, 2, 2), jnp.float32)
+        self._s = jnp.zeros((cap,), jnp.float32)
+        self._r = jnp.zeros((cap,), jnp.float32)
+        self._d = jnp.zeros((cap, dim), jnp.float32)
+        self._n = jnp.zeros((), jnp.int32)
+
+    def append(self, part: dict) -> None:
+        prog = _append_program(part["xy"].shape[0], self.cap, self.dim)
+        (self._xy, self._A, self._s, self._r, self._d, self._n) = prog(
+            self._xy, self._A, self._s, self._r, self._d, self._n,
+            part["xy"], part["A"], part["s"], part["response"],
+            part["desc"], part["n"])
+
+    def device_arrays(self):
+        """(xy, A, s, desc, count) — all on device."""
+        return self._xy, self._A, self._s, self._d, self._n
+
+    # host views (CLI export paths and tests only — these synchronize)
+    @property
+    def count(self) -> int:
+        return int(self._n)
+
+    @property
+    def xy(self):
+        return np.asarray(self._xy)[: self.count]
+
+    @property
+    def A(self):
+        return np.asarray(self._A)[: self.count]
+
+    @property
+    def s(self):
+        return np.asarray(self._s)[: self.count]
+
+    @property
+    def response(self):
+        return np.asarray(self._r)[: self.count]
+
+    @property
+    def desc(self):
+        return np.asarray(self._d)[: self.count]
+
+
 # --------------------------------------------------------------------------
 # compiled per-group programs
 
-@functools.lru_cache(maxsize=128)
-def _render_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
+def _make_render_fn(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
                     wc: int, sigma_x: float, sigma_y: float, sx: float,
                     sy: float, do_blur: bool, identity: bool):
     from mods_tpu.ops.gaussian import gaussian_blur
     from mods_tpu.ops.warp import affine_warp
 
-    def program(img, rot_inv):
+    def render(img, rot_inv):
         if identity:
             views = jnp.full((V, hc, wc), 128.0, img.dtype)
             return views.at[:, :h0, :w0].set(img[None])
@@ -163,7 +235,15 @@ def _render_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
         return jax.vmap(lambda im: affine_warp(
             im, squash_inv, hc, wc, fill=128.0))(rots)
 
-    return jax.jit(program)
+    return render
+
+
+@functools.lru_cache(maxsize=128)
+def _render_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
+                    wc: int, sigma_x: float, sigma_y: float, sx: float,
+                    sy: float, do_blur: bool, identity: bool):
+    return jax.jit(_make_render_fn(V, h0, w0, hr, wr, hc, wc, sigma_x,
+                                   sigma_y, sx, sy, do_blur, identity))
 
 
 @functools.lru_cache(maxsize=128)
@@ -175,15 +255,15 @@ def _ss_detect_program(V: int, hc: int, wc: int, pyr: PyramidParams,
     return jax.jit(program)
 
 
-@functools.lru_cache(maxsize=128)
-def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
+def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                   specs: tuple, dom_ori: DominantOrientationParams,
                   pe_mr: float, pe_patch: int, pe_photo: bool,
                   caps: CapacityParams):
-    """views + Regions(V, K) + hinv -> flattened reprojected regions and a
-    descriptor array per spec.  Orientation families (SIFT-like vs
-    HalfSIFT-like, imagerepresentation.cpp:1253-1269) are computed once
-    each; SIFT variants share patches and histograms and differ only in
+    """views + Regions(V, K) + hinv -> per-descriptor COMPACTED regions
+    (C=per_image rows) ready for DeviceStore.append.  Orientation
+    families (SIFT-like vs HalfSIFT-like,
+    imagerepresentation.cpp:1253-1269) are computed once each; SIFT
+    variants share patches and histograms and differ only in
     folding/normalization (siftdesc.cpp operator())."""
     specs = tuple(get_spec(s) for s in specs)
     M = caps.max_angles
@@ -330,17 +410,104 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
 
             descs = jax.lax.map(
                 lambda t: desc_one_view(*t), (views, mips_v, xy_f, A_f, s_f))
+            # device-side compaction: valid rows to the front, so the
+            # host never sees the (V*K*M)-row padded intermediates —
+            # one (C, D) slab per descriptor flows to the feature store
+            C = caps.per_image
+            flat_mask = m_f.reshape(-1)
+            n_val = jnp.sum(flat_mask.astype(jnp.int32))
+            idx = jnp.nonzero(flat_mask, size=C,
+                              fill_value=flat_mask.shape[0])[0]
+
+            def take(arr):
+                flat = arr.reshape((-1,) + arr.shape[2:])
+                return jnp.take(flat, idx, axis=0, mode="fill",
+                                fill_value=0)
+
+            n_out = jnp.minimum(n_val, C)
             for sp in fam_specs:
-                D = descs[sp.name].shape[-1]
                 out[sp.name] = dict(
-                    desc=descs[sp.name].reshape(-1, D),
-                    xy=xy_r.reshape(-1, 2),
-                    A=A_r.reshape(-1, 2, 2),
-                    s=s_f.reshape(-1),
-                    response=r_f.reshape(-1),
-                    mask=m_f.reshape(-1),
-                )
+                    desc=take(descs[sp.name]), xy=take(xy_r),
+                    A=take(A_r), s=take(s_f), response=take(r_f),
+                    n=n_out)
         return out
+
+    return program
+
+
+@functools.lru_cache(maxsize=128)
+def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
+                  specs: tuple, dom_ori: DominantOrientationParams,
+                  pe_mr: float, pe_patch: int, pe_photo: bool,
+                  caps: CapacityParams):
+    return jax.jit(_make_desc_fn(V, hc, wc, h0, w0, K, specs, dom_ori,
+                                 pe_mr, pe_patch, pe_photo, caps))
+
+
+# detectors that run fully on device (the rest — MSER, ReadAffs — need a
+# host stage and use the split render/detect/describe path)
+DEVICE_DETECTORS = ("HessianAffine", "DoG", "HarrisAffine", "ORB", "SURF",
+                    "KAZE", "TILDE", "FAST", "STAR", "BRISK")
+
+
+def _make_detect_fn(det: str, cfg: EngineConfig):
+    """Traced detection dispatch (the reference's 20-way if-else,
+    imagerepresentation.cpp:717-1224) for device-resident detectors."""
+    caps = cfg.caps
+    if det in ("HessianAffine", "DoG", "HarrisAffine"):
+        pyr = cfg.pyramid_for(det)
+        aff = cfg.affine
+        return lambda v, hw, rn: detect_affine_keypoints(v, hw, pyr, aff,
+                                                         caps, rn)
+    if det in ("ORB", "BRISK"):
+        from mods_tpu.detectors.orb import detect_orb
+        return lambda v, hw, rn: detect_orb(v, hw, caps)
+    if det == "SURF":
+        from mods_tpu.detectors.surf import detect_surf
+        thr = cfg.surf_threshold
+        return lambda v, hw, rn: detect_surf(v, hw, caps, thr)
+    if det == "KAZE":
+        from mods_tpu.detectors.kaze import detect_kaze
+        thr = cfg.kaze_threshold
+        return lambda v, hw, rn: detect_kaze(v, hw, caps, thr)
+    if det == "TILDE":
+        from mods_tpu.detectors.tilde import (detect_tilde,
+                                              load_tilde_filters,
+                                              procedural_filters)
+        filters = (load_tilde_filters(cfg.tilde_filters)[:2]
+                   if cfg.tilde_filters else procedural_filters())
+        return lambda v, hw, rn: detect_tilde(v, hw, caps, filters)
+    if det == "STAR":
+        from mods_tpu.detectors.corners import detect_star
+        return lambda v, hw, rn: detect_star(v, hw, caps)
+    if det == "FAST":
+        from mods_tpu.detectors.corners import detect_fast
+        return lambda v, hw, rn: detect_fast(v, hw, caps)
+    raise KeyError(det)
+
+
+@functools.lru_cache(maxsize=256)
+def _fused_group_program(V: int, h0: int, w0: int, hr: int, wr: int,
+                         hc: int, wc: int, sigma_x: float, sigma_y: float,
+                         sx: float, sy: float, do_blur: bool,
+                         identity: bool, det: str, specs: tuple,
+                         cfg: EngineConfig):
+    """render -> detect -> orient -> describe -> compact, ONE XLA program
+    per view group: the whole hot path of a rung stays on device with a
+    single dispatch (SURVEY.md §7.1 'each rung a jit-able program')."""
+    render = _make_render_fn(V, h0, w0, hr, wr, hc, wc, sigma_x, sigma_y,
+                             sx, sy, do_blur, identity)
+    detect = _make_detect_fn(det, cfg)
+    pe = cfg.sift.patch_extraction
+    desc = _make_desc_fn(V, hc, wc, h0, w0, cfg.caps.per_view, specs,
+                         cfg.dom_ori, pe.mr_size, pe.patch_size,
+                         pe.photo_norm, cfg.caps)
+
+    def program(img, rot_inv, valid_hw, regn, hinv):
+        views = render(img, rot_inv)
+        regs = detect(views, valid_hw, regn)
+        return desc(views, regs.xy, regs.A, regs.s, regs.response,
+                    regs.mask, hinv)
 
     return jax.jit(program)
 
@@ -402,66 +569,150 @@ def _orb_detect_program(V: int, hc: int, wc: int, caps: CapacityParams):
     return jax.jit(program)
 
 
-@functools.lru_cache(maxsize=64)
-def _tentative_program(cap: int, D: int, knn: int, contrad: float,
-                       standard_2nd: bool = False, with_db: bool = False):
-    if with_db:
-        def program(d1, m1, d2, m2, xy2, ratio_th, db_desc, db_mask):
-            return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad,
-                               knn, standard_2nd=standard_2nd,
-                               db=(db_desc, db_mask))
-    else:
-        def program(d1, m1, d2, m2, xy2, ratio_th):
-            return match_fginn(d1, m1, d2, m2, xy2, ratio_th, contrad,
-                               knn, standard_2nd=standard_2nd)
-    return jax.jit(program)
-
-
-@functools.lru_cache(maxsize=64)
-def _distance_program(cap: int, D: int, squared: bool):
+@functools.lru_cache(maxsize=128)
+def _match_pair_program(n1: int, n2: int, cap: int, D: int, knn: int,
+                        contrad: float, dup_mode: str, run_fginn: bool,
+                        run_dist: bool, binary: bool, standard_2nd: bool,
+                        with_db: bool):
+    """One compiled matching step over n1/n2 pooled store parts per side
+    (grouped matching pools several detectors' stores,
+    correspondencebank.cpp:248-288).  Emits fixed-shape tentative parts
+    with the image-2 endpoints already gathered, so nothing returns to
+    the host."""
     from mods_tpu.matching.fginn import match_distance
 
-    def program(d1, m1, d2, m2, thr):
-        return match_distance(d1, m1, d2, m2, thr,
-                              squared_threshold=squared)
+    def program(parts1, parts2, ratio, dist_thr, *db):
+        def pool(parts):
+            xy = jnp.concatenate([p[0] for p in parts])
+            A = jnp.concatenate([p[1] for p in parts])
+            s = jnp.concatenate([p[2] for p in parts])
+            d = jnp.concatenate([p[3] for p in parts])
+            m = jnp.concatenate([jnp.arange(cap) < p[4] for p in parts])
+            return xy, A, s, d, m
+
+        xy1, A1, s1, d1, m1 = pool(parts1)
+        xy2, A2, s2, d2, m2 = pool(parts2)
+
+        def finish(t):
+            if dup_mode == "fginn":
+                prio = t.ratio
+            elif dup_mode == "distance":
+                prio = t.d1
+            elif dup_mode == "bigger_region":
+                prio = -s1
+            else:
+                prio = jnp.arange(xy1.shape[0], dtype=jnp.float32)
+            return dict(xy1=xy1, A1=A1, s1=s1, xy2=xy2[t.idx2],
+                        A2=A2[t.idx2], s2=s2[t.idx2], prio=prio,
+                        mask=t.mask)
+
+        outs = []
+        if run_fginn:
+            t = match_fginn(d1, m1, d2, m2, xy2, ratio, contrad, knn,
+                            standard_2nd=standard_2nd,
+                            db=(db if with_db else None))
+            outs.append(finish(t))
+        if run_dist:
+            t = match_distance(d1, m1, d2, m2, dist_thr,
+                               squared_threshold=binary)
+            outs.append(finish(t))
+        return outs
+
     return jax.jit(program)
 
 
-@functools.lru_cache(maxsize=32)
-def _verify_program(cap: int, cfg: EngineConfig, w: int = 0, h: int = 0):
-    """Combined tentatives -> duplicate filter -> RANSAC -> LAF check.
+def _verify_core(cfg: EngineConfig, w: int, h: int, xy1, A1, s1, xy2, A2,
+                 s2, prio, mask, key):
+    """duplicate filter -> RANSAC -> LAF check (traced body).
     Verification dispatch mirrors mods.cpp:310-371 (LORANSAC H/F, ORSA)."""
     ver = cfg.ver_type or ("LORANSACF" if cfg.ransac.use_f else "LORANSACH")
+    keep = duplicate_filter(xy1, xy2, mask, cfg.match.duplicate_dist,
+                            priority=prio)
+    tmask = mask & keep
+    n_tent = jnp.sum(tmask.astype(jnp.int32))
+    if ver == "ORSA":
+        from mods_tpu.ransac.orsa import orsa_f
+        M, inl, n_inl, _nfa = orsa_f(xy1, xy2, tmask, max(w, 1),
+                                     max(h, 1), cfg.orsa, key)
+        lafm = f_laf_check(
+            M, xy1, A1, s1, xy2, A2, s2, inl,
+            cfg.ransac.laf_coef * cfg.ransac.err_threshold,
+            sampson=cfg.ransac.error_type == "sampson")
+    elif ver == "LORANSACF":
+        M, inl, n_inl, _ = ransac_f(xy1, xy2, tmask, cfg.ransac, key)
+        lafm = f_laf_check(
+            M, xy1, A1, s1, xy2, A2, s2, inl,
+            cfg.ransac.laf_coef * cfg.ransac.err_threshold,
+            sampson=cfg.ransac.error_type == "sampson")
+    else:
+        M, inl, n_inl = ransac_h(xy1, xy2, tmask, cfg.ransac, key)
+        lafm = h_laf_check(
+            M, xy1, A1, s1, xy2, A2, s2, inl,
+            3.0 * cfg.ransac.h_laf_coef * cfg.ransac.err_threshold)
+    n_laf = jnp.sum(lafm.astype(jnp.int32))
+    enough = (n_tent >= MIN_POINTS) & (n_laf >= MIN_POINTS)
+    final = jnp.where(enough, lafm, jnp.zeros_like(lafm))
+    return dict(model=M, inlier_mask=final, n_tent=n_tent,
+                n_inl=jnp.sum(final.astype(jnp.int32)))
 
-    def program(xy1, A1, s1, xy2, A2, s2, prio, mask, key):
-        keep = duplicate_filter(xy1, xy2, mask, cfg.match.duplicate_dist,
-                                priority=prio)
-        tmask = mask & keep
-        n_tent = jnp.sum(tmask.astype(jnp.int32))
-        if ver == "ORSA":
-            from mods_tpu.ransac.orsa import orsa_f
-            M, inl, n_inl, _nfa = orsa_f(xy1, xy2, tmask, max(w, 1),
-                                         max(h, 1), cfg.orsa, key)
-            lafm = f_laf_check(
-                M, xy1, A1, s1, xy2, A2, s2, inl,
-                cfg.ransac.laf_coef * cfg.ransac.err_threshold,
-                sampson=cfg.ransac.error_type == "sampson")
-        elif ver == "LORANSACF":
-            M, inl, n_inl, _ = ransac_f(xy1, xy2, tmask, cfg.ransac, key)
-            lafm = f_laf_check(
-                M, xy1, A1, s1, xy2, A2, s2, inl,
-                cfg.ransac.laf_coef * cfg.ransac.err_threshold,
-                sampson=cfg.ransac.error_type == "sampson")
-        else:
-            M, inl, n_inl = ransac_h(xy1, xy2, tmask, cfg.ransac, key)
-            lafm = h_laf_check(
-                M, xy1, A1, s1, xy2, A2, s2, inl,
-                3.0 * cfg.ransac.h_laf_coef * cfg.ransac.err_threshold)
-        n_laf = jnp.sum(lafm.astype(jnp.int32))
-        enough = (n_tent >= MIN_POINTS) & (n_laf >= MIN_POINTS)
-        final = jnp.where(enough, lafm, jnp.zeros_like(lafm))
-        return dict(model=M, inlier_mask=final, n_tent=n_tent,
-                    n_inl=jnp.sum(final.astype(jnp.int32)))
+
+@functools.lru_cache(maxsize=64)
+def _verify_bank_program(row_counts: tuple, tcap: int, cfg: EngineConfig,
+                         w: int, h: int, gt_mode: bool, do_both: bool):
+    """Fused bank concat (GetCorresponcesVector, mods.cpp:298) ->
+    compaction to the tentative capacity -> duplicate filter ->
+    verification — ONE program per rung, so the rung's only host sync is
+    reading its match count."""
+    keys_ = ("xy1", "A1", "s1", "xy2", "A2", "s2", "prio")
+
+    def concat_compact(parts):
+        mask_all = jnp.concatenate([p["mask"] for p in parts])
+        idx = jnp.nonzero(mask_all, size=tcap,
+                          fill_value=mask_all.shape[0])[0]
+        comb = {k: jnp.take(jnp.concatenate([p[k] for p in parts]), idx,
+                            axis=0, mode="fill", fill_value=0)
+                for k in keys_}
+        n = jnp.minimum(jnp.sum(mask_all.astype(jnp.int32)), tcap)
+        comb["mask"] = jnp.arange(tcap) < n
+        return comb
+
+    if gt_mode:
+        def program(parts, key, gt_h):
+            from mods_tpu.verify import gt_h_inliers
+            c = concat_compact(parts)
+            keep = duplicate_filter(c["xy1"], c["xy2"], c["mask"],
+                                    cfg.match.duplicate_dist,
+                                    priority=c["prio"])
+            tmask = c["mask"] & keep
+            inl = gt_h_inliers(gt_h, c["xy1"], c["xy2"], tmask,
+                               cfg.ransac.err_threshold)
+            out = dict(model=gt_h, inlier_mask=inl,
+                       n_tent=jnp.sum(tmask.astype(jnp.int32)),
+                       n_inl=jnp.sum(inl.astype(jnp.int32)),
+                       xy1_all=c["xy1"], xy2_all=c["xy2"])
+            if do_both:
+                # dual mode (mods.cpp:320-334): LO-RANSAC on the same
+                # tentatives, GT-checked — RANSAC quality vs the oracle
+                r = _verify_core(replace(cfg, ver_type="LORANSACH"),
+                                 w, h, c["xy1"], c["A1"], c["s1"],
+                                 c["xy2"], c["A2"], c["s2"], c["prio"],
+                                 c["mask"], key)
+                rtrue = gt_h_inliers(gt_h, c["xy1"], c["xy2"],
+                                     r["inlier_mask"],
+                                     cfg.ransac.err_threshold)
+                out["ransac_matches"] = jnp.sum(
+                    r["inlier_mask"].astype(jnp.int32))
+                out["ransac_true"] = jnp.sum(rtrue.astype(jnp.int32))
+            return out
+    else:
+        def program(parts, key):
+            c = concat_compact(parts)
+            out = _verify_core(cfg, w, h, c["xy1"], c["A1"], c["s1"],
+                               c["xy2"], c["A2"], c["s2"], c["prio"],
+                               c["mask"], key)
+            out["xy1_all"] = c["xy1"]
+            out["xy2_all"] = c["xy2"]
+            return out
 
     return jax.jit(program)
 
@@ -484,22 +735,30 @@ class TwoViewMatcher:
     """The `mods` CLI equivalent: escalation-laddered two-view matching."""
 
     def __init__(self, ladder: list[IterationParams] | None = None,
-                 cfg: EngineConfig = EngineConfig(), seed: int = 0):
+                 cfg: EngineConfig = EngineConfig(), seed: int = 0,
+                 sync_timing: bool = False):
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
         self.key = jax.random.PRNGKey(seed)
         # keypoint files for the ReadAffs pseudo-detector, per image
         self.affs_paths: tuple = (None, None)
+        # sync_timing=True blocks at phase boundaries so the TimeLog
+        # attributes wall-clock to the right phase (reference time.log
+        # parity); False lets XLA pipeline the whole rung with a single
+        # host sync at the stop decision.
+        self.sync_timing = sync_timing
+
+    def _sync(self, x):
+        if self.sync_timing:
+            jax.block_until_ready(x)
+        return x
 
     # -- feature extraction ------------------------------------------------
 
-    def _detect_group(self, views, valid_hw, plans, it, log, img_idx=0):
-        """Dispatch detection for one rendered view group."""
+    def _region_budgets(self, plans, det):
+        """Per-view region budget scaling
+        (scale-space-detector.cpp:50-51)."""
         cfg = self.cfg
-        V = len(plans)
-        hc, wc = views.shape[-2:]
-        det = it.detector
-        # per-view region budget scaling (scale-space-detector.cpp:50-51)
         regn = []
         base_rn = cfg.pyramid_for(det).reg_number \
             if det in ("HessianAffine", "DoG", "HarrisAffine") else -1
@@ -509,42 +768,50 @@ class TwoViewMatcher:
             if base_rn > 0 and (t > 2.0 or z < 0.5):
                 rn = int(np.floor(z * base_rn / t))
             regn.append(rn if rn > 0 else 10**9)
-        regn = jnp.asarray(regn, jnp.int32)
+        return jnp.asarray(regn, jnp.int32)
+
+    def _detect_group(self, views, valid_hw, plans, it, log, img_idx=0):
+        """Dispatch detection for one rendered view group."""
+        cfg = self.cfg
+        V = len(plans)
+        hc, wc = views.shape[-2:]
+        det = it.detector
+        regn = self._region_budgets(plans, det)
 
         if det in ("HessianAffine", "DoG", "HarrisAffine"):
             prog = _ss_detect_program(V, hc, wc, cfg.pyramid_for(det),
                                       cfg.affine, cfg.caps)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw, regn)
-                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+                self._sync(regs)
             return regs
         if det == "ORB":
             from mods_tpu.detectors.orb import detect_orb
             prog = _orb_detect_program(V, hc, wc, cfg.caps)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
-                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+                self._sync(regs)
             return regs
         if det == "SURF":
             prog = _surf_detect_program(V, hc, wc, cfg.caps,
                                         cfg.surf_threshold)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
-                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+                self._sync(regs)
             return regs
         if det == "KAZE":
             prog = _kaze_detect_program(V, hc, wc, cfg.caps,
                                         cfg.kaze_threshold)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
-                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+                self._sync(regs)
             return regs
         if det == "TILDE":
             prog = _tilde_detect_program(V, hc, wc, cfg.caps,
                                          cfg.tilde_filters)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
-                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+                self._sync(regs)
             return regs
         if det in ("FAST", "STAR", "BRISK"):
             # BRISK's AGAST pyramid maps to multi-scale FAST == ORB's
@@ -553,7 +820,7 @@ class TwoViewMatcher:
             prog = _corner_detect_program(V, hc, wc, cfg.caps, det)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
-                regs = jax.tree.map(lambda x: x.block_until_ready(), regs)
+                self._sync(regs)
             return regs
         if det == "ReadAffs":
             # keypoints ingested from file as a "detector"
@@ -643,29 +910,46 @@ class TwoViewMatcher:
                 [np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
                                )[:2, :] for p in group], np.float32)
 
-            render = _render_program(
-                V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
-                p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
-                p0.identity)
-            with log.phase("SynthTime"):
-                views_arr = render(img_j, jnp.asarray(rot_inv))
-                views_arr.block_until_ready()
+            # fused single-dispatch path for device detectors; the split
+            # path remains for host-stage detectors (MSER, ReadAffs) and
+            # for sync_timing runs that want the reference's per-phase
+            # wall-clock attribution
+            if it.detector in DEVICE_DETECTORS and not self.sync_timing:
+                prog = _fused_group_program(
+                    V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
+                    p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                    p0.identity, it.detector, tuple(it.descriptors), cfg)
+                with log.phase("DetectTime"):
+                    out = prog(img_j, jnp.asarray(rot_inv), valid_hw,
+                               self._region_budgets(group, it.detector),
+                               jnp.asarray(hinv))
+            else:
+                render = _render_program(
+                    V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
+                    p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                    p0.identity)
+                with log.phase("SynthTime"):
+                    views_arr = render(img_j, jnp.asarray(rot_inv))
+                    self._sync(views_arr)
 
-            regs = self._detect_group(views_arr, valid_hw, group, it, log,
-                                      img_idx)
+                regs = self._detect_group(views_arr, valid_hw, group, it,
+                                          log, img_idx)
 
-            dp = _desc_program(
-                V, hc, wc, h, w, regs.capacity, tuple(it.descriptors),
-                cfg.dom_ori, pe.mr_size, pe.patch_size, pe.photo_norm,
-                cfg.caps)
-            with log.phase("DescTime"):
-                out = dp(views_arr, regs.xy, regs.A, regs.s,
-                         regs.response, regs.mask, jnp.asarray(hinv))
-                out = jax.tree.map(lambda x: np.asarray(x), out)
+                dp = _desc_program(
+                    V, hc, wc, h, w, regs.capacity,
+                    tuple(it.descriptors), cfg.dom_ori, pe.mr_size,
+                    pe.patch_size, pe.photo_norm, cfg.caps)
+                with log.phase("DescTime"):
+                    out = dp(views_arr, regs.xy, regs.A, regs.s,
+                             regs.response, regs.mask, jnp.asarray(hinv))
+                    self._sync(out)
             for name, d in out.items():
-                stores.setdefault((it.detector, name), FeatureStore()).add(
-                    d["xy"], d["A"], d["s"], d["response"], d["desc"],
-                    d["mask"])
+                key = (it.detector, name)
+                st = stores.get(key)
+                if st is None:
+                    stores[key] = st = DeviceStore(cfg.caps.per_image,
+                                                   get_spec(name).dim)
+                st.append(d)
         return prev_views
 
     # -- matching ----------------------------------------------------------
@@ -696,63 +980,35 @@ class TwoViewMatcher:
         self._fginn_db_cache = (cfg.match.sift_db_file, (desc, mask))
         return desc, mask
 
-    def _match_one(self, feats1: tuple, feats2: tuple, spec,
+    def _match_one(self, parts1: list, parts2: list, spec,
                    ratio: float, dist_thr: float, log: TimeLog) -> list:
-        """FGINN and/or distance matching of one padded feature pair.
+        """FGINN and/or distance matching over pooled device stores.
         Both run when both thresholds are positive
         (correspondencebank.cpp:281-285)."""
         cfg = self.cfg
-        xy1, A1, s1, d1, m1 = feats1
-        xy2, A2, s2, d2, m2 = feats2
-        cap = m1.shape[0]
-        parts = []
-        runs = []
-        if ratio > 0:
-            runs.append(("fginn", ratio))
-        if dist_thr > 0:
-            runs.append(("distance", dist_thr))
-        for kind, thr in runs:
-            if kind == "distance":
-                prog = _distance_program(cap, spec.dim,
-                                         spec.kind == "binary")
-                with log.phase("MatchingTime"):
-                    t = prog(jnp.asarray(d1), jnp.asarray(m1),
-                             jnp.asarray(d2), jnp.asarray(m2),
-                             jnp.float32(thr))
-                    t = jax.tree.map(np.asarray, t)
-            else:
-                # FGINN+DB: the external SIFT database contributes an
-                # extra impostor distance (correspondencebank.cpp:337-341
-                # routes RootSIFT through MatchFlannFGINNPlusDB)
-                db = self._fginn_db(spec)
-                prog = _tentative_program(cap, spec.dim, cfg.match.knn,
-                                          cfg.match.contrad_dist,
-                                          cfg.match.standard_2nd_closest,
-                                          db is not None)
-                with log.phase("MatchingTime"):
-                    args = [jnp.asarray(d1), jnp.asarray(m1),
-                            jnp.asarray(d2), jnp.asarray(m2),
-                            jnp.asarray(xy2), jnp.float32(thr)]
-                    if db is not None:
-                        args += [jnp.asarray(db[0]), jnp.asarray(db[1])]
-                    t = prog(*args)
-                    t = jax.tree.map(np.asarray, t)
-            idx2 = t.idx2
-            mode = cfg.match.duplicate_mode
-            if mode == "fginn":
-                prio = t.ratio
-            elif mode == "distance":
-                prio = t.d1
-            elif mode == "bigger_region":
-                prio = -s1
-            else:
-                prio = np.arange(cap, dtype=np.float32)
-            sel = np.where(t.mask)[0]
-            parts.append(dict(
-                xy1=xy1[sel], A1=A1[sel], s1=s1[sel],
-                xy2=xy2[idx2][sel], A2=A2[idx2][sel], s2=s2[idx2][sel],
-                prio=prio[sel]))
-        return parts
+        run_f = ratio > 0
+        run_d = dist_thr > 0
+        if not (run_f or run_d):
+            return []
+        # FGINN+DB: the external SIFT database contributes an extra
+        # impostor distance (correspondencebank.cpp:337-341 routes
+        # RootSIFT through MatchFlannFGINNPlusDB)
+        db = self._fginn_db(spec) if run_f else None
+        prog = _match_pair_program(
+            len(parts1), len(parts2), cfg.caps.per_image, spec.dim,
+            cfg.match.knn, cfg.match.contrad_dist,
+            cfg.match.duplicate_mode, run_f, run_d,
+            spec.kind == "binary", cfg.match.standard_2nd_closest,
+            db is not None)
+        args = [tuple(p.device_arrays() for p in parts1),
+                tuple(p.device_arrays() for p in parts2),
+                jnp.float32(ratio), jnp.float32(dist_thr)]
+        if db is not None:
+            args += [jnp.asarray(db[0]), jnp.asarray(db[1])]
+        with log.phase("MatchingTime"):
+            outs = prog(*args)
+            self._sync(outs)
+        return outs
 
     def _execute_plan(self, stores1: dict, stores2: dict, rung: Rung,
                       log: TimeLog) -> None:
@@ -761,39 +1017,22 @@ class TwoViewMatcher:
         correspondencebank.cpp:237-351)."""
         cfg = self.cfg
         plan = rung.plan or rung.default_plan()
-        cap = cfg.caps.per_image
 
-        def padded(key):
-            spec = get_spec(key[1])
-            st1 = stores1.get(key)
-            st2 = stores2.get(key)
-            if st1 is None or st2 is None:
-                return None, spec
-            return (st1.padded(cap, spec.dim),
-                    st2.padded(cap, spec.dim)), spec
-
-        # grouped: pool regions across group_detectors per descriptor,
+        # grouped: pool stores across group_detectors per descriptor,
         # thresholds from the global [Matching] maps
         for desc in plan.group_descriptors:
             spec = get_spec(desc)
-            pooled1 = FeatureStore()
-            pooled2 = FeatureStore()
-            for det in plan.group_detectors:
-                for pooled, stores in ((pooled1, stores1),
-                                       (pooled2, stores2)):
-                    st = stores.get((det, desc))
-                    if st is not None and st.count:
-                        pooled.add(st.xy, st.A, st.s, st.response,
-                                   st.desc, np.ones(st.count, bool))
+            pooled1 = [stores1[(det, desc)] for det in plan.group_detectors
+                       if (det, desc) in stores1]
+            pooled2 = [stores2[(det, desc)] for det in plan.group_detectors
+                       if (det, desc) in stores2]
             key = ("Group", desc)
             self._bank.pop(key, None)
-            if not (pooled1.count and pooled2.count):
+            if not (pooled1 and pooled2):
                 continue
-            parts = self._match_one(
-                pooled1.padded(cap, spec.dim), pooled2.padded(cap,
-                                                              spec.dim),
-                spec, cfg.match.group_fginn(desc),
-                cfg.match.group_distance(desc), log)
+            parts = self._match_one(pooled1, pooled2, spec,
+                                    cfg.match.group_fginn(desc),
+                                    cfg.match.group_distance(desc), log)
             if parts:
                 self._bank[key] = parts
 
@@ -807,87 +1046,41 @@ class TwoViewMatcher:
             for desc in plan.separate_descriptors:
                 key = (det, desc)
                 self._bank.pop(key, None)
-                feats, spec = padded(key)
-                if feats is None:
+                if key not in stores1 or key not in stores2:
                     continue
                 parts = self._match_one(
-                    feats[0], feats[1], spec, it.fginn_for(desc),
-                    it.distance_for(desc), log)
+                    [stores1[key]], [stores2[key]], get_spec(desc),
+                    it.fginn_for(desc), it.distance_for(desc), log)
                 if parts:
                     self._bank[key] = parts
 
     def _verify_bank(self, log: TimeLog):
         """Concatenate the tentative bank (GetCorresponcesVector,
-        mods.cpp:298) -> duplicate filter -> geometric verification."""
+        mods.cpp:298) -> duplicate filter -> geometric verification —
+        one fused program, all on device."""
         cfg = self.cfg
         tent_parts = [p for parts in self._bank.values() for p in parts]
         if not tent_parts:
             return None
         tcap = cfg.caps.tentatives
-        comb = {k: np.zeros((tcap,) + tent_parts[0][k].shape[1:],
-                            tent_parts[0][k].dtype)
-                for k in tent_parts[0]}
-        pos = 0
-        for part in tent_parts:
-            n = min(part["xy1"].shape[0], tcap - pos)
-            if n <= 0:
-                continue
-            for k in comb:
-                comb[k][pos:pos + n] = part[k][:n]
-            pos += n
-        comb["mask"] = np.zeros(tcap, bool)
-        comb["mask"][:pos] = True
-
-        if cfg.ver_type == "GR_TRUTH" and getattr(self, "_gt_h", None) \
-                is not None:
-            # known-homography oracle (mods.cpp:312-335, HMatrixFiltering)
-            from mods_tpu.verify import gt_h_inliers
-            with log.phase("RANSACTime"):
-                keep = np.asarray(duplicate_filter(
-                    jnp.asarray(comb["xy1"]), jnp.asarray(comb["xy2"]),
-                    jnp.asarray(comb["mask"]), cfg.match.duplicate_dist))
-                tmask = comb["mask"] & keep
-                inl = np.asarray(gt_h_inliers(
-                    jnp.asarray(self._gt_h, jnp.float32),
-                    jnp.asarray(comb["xy1"]), jnp.asarray(comb["xy2"]),
-                    jnp.asarray(tmask), cfg.ransac.err_threshold))
-            out = dict(model=np.asarray(self._gt_h, np.float32),
-                       inlier_mask=inl,
-                       n_tent=np.int32(tmask.sum()),
-                       n_inl=np.int32(inl.sum()))
-            out["xy1_all"] = comb["xy1"]
-            out["xy2_all"] = comb["xy2"]
-            if cfg.do_both_ransac_gt:
-                # dual mode (mods.cpp:320-334): also run LO-RANSAC on the
-                # same tentatives and GT-check ITS inliers -> a measure of
-                # RANSAC quality against the oracle.
-                vp = _verify_program(tcap, cfg, *getattr(self, "_wh",
-                                                         (0, 0)))
-                self.key, k = jax.random.split(self.key)
-                with log.phase("RANSACTime"):
-                    r = vp(*[jnp.asarray(comb[k2]) for k2 in
-                             ("xy1", "A1", "s1", "xy2", "A2", "s2",
-                              "prio", "mask")], k)
-                    r = jax.tree.map(np.asarray, r)
-                    rmask = r["inlier_mask"]
-                    rtrue = np.asarray(gt_h_inliers(
-                        jnp.asarray(self._gt_h, jnp.float32),
-                        jnp.asarray(comb["xy1"]),
-                        jnp.asarray(comb["xy2"]),
-                        jnp.asarray(rmask), cfg.ransac.err_threshold))
-                out["extras"] = dict(ransac_matches=int(rmask.sum()),
-                                     ransac_true=int(rtrue.sum()))
-            return out
-
-        vp = _verify_program(tcap, cfg, *getattr(self, "_wh", (0, 0)))
+        rows = tuple(int(p["mask"].shape[0]) for p in tent_parts)
+        w, h = getattr(self, "_wh", (0, 0))
+        gt_mode = (cfg.ver_type == "GR_TRUTH"
+                   and getattr(self, "_gt_h", None) is not None)
+        vp = _verify_bank_program(rows, tcap, cfg, w, h, gt_mode,
+                                  cfg.do_both_ransac_gt)
         self.key, k = jax.random.split(self.key)
         with log.phase("RANSACTime"):
-            out = vp(*[jnp.asarray(comb[k2]) for k2 in
-                       ("xy1", "A1", "s1", "xy2", "A2", "s2", "prio",
-                        "mask")], k)
-            out = jax.tree.map(np.asarray, out)
-        out["xy1_all"] = comb["xy1"]
-        out["xy2_all"] = comb["xy2"]
+            if gt_mode:
+                out = vp(tuple(tent_parts), k,
+                         jnp.asarray(self._gt_h, jnp.float32))
+            else:
+                out = vp(tuple(tent_parts), k)
+            self._sync(out)
+        if "ransac_matches" in out:
+            out["extras"] = dict(
+                ransac_matches=int(out.pop("ransac_matches")),
+                ransac_true=int(out.pop("ransac_true")))
         return out
 
     def match(self, img1, img2, gt_h=None) -> MatchResult:
@@ -933,10 +1126,11 @@ class TwoViewMatcher:
             # (mods.cpp:412-414)
             n_stop = out.get("extras", {}).get("ransac_matches", n_inl)
             if best is None or n_inl > best[0]:
-                inl = out["inlier_mask"]
+                inl = np.asarray(out["inlier_mask"])
                 best = (n_inl, MatchResult(
                     H=np.asarray(out["model"]),
-                    xy1=out["xy1_all"][inl], xy2=out["xy2_all"][inl],
+                    xy1=np.asarray(out["xy1_all"])[inl],
+                    xy2=np.asarray(out["xy2_all"])[inl],
                     n_matches=n_inl, n_tentatives=int(out["n_tent"]),
                     steps_used=steps, log=log,
                     extras=out.get("extras", {})))

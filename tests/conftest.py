@@ -19,6 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms",
                   os.environ.get("MODS_TEST_PLATFORM", "cpu"))
 
+# persistent compilation cache: repeated suite runs skip recompiles
+# (the cache dir is gitignored)
+from mods_tpu.runtime import setup_cache  # noqa: E402
+
+setup_cache("/root/repo/.jax_cache_tests")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

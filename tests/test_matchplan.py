@@ -59,7 +59,7 @@ def test_separate_vs_grouped_partitions():
     m._execute_plan(s1, s2, sep, log)
     sep_keys = set(m._bank)
     assert sep_keys == {("HessianAffine", "RootSIFT"), ("DoG", "RootSIFT")}
-    sep_counts = {k: sum(p["xy1"].shape[0] for p in v)
+    sep_counts = {k: sum(int(np.asarray(p["mask"]).sum()) for p in v)
                   for k, v in m._bank.items()}
     assert all(c > 0 for c in sep_counts.values()), sep_counts
 
@@ -73,7 +73,7 @@ def test_separate_vs_grouped_partitions():
     mg._bank = {}
     mg._execute_plan(s1, s2, grp, log)
     assert set(mg._bank) == {("Group", "RootSIFT")}
-    grp_count = sum(p["xy1"].shape[0]
+    grp_count = sum(int(np.asarray(p["mask"]).sum())
                     for p in mg._bank[("Group", "RootSIFT")])
     assert grp_count > 0
     # pooled matching sees cross-detector contradictions/duplicates, so

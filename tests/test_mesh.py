@@ -75,6 +75,39 @@ def test_batched_pair_step_shards_over_pairs():
     assert (out["n_inliers"] >= 8).all(), out["n_inliers"]
 
 
+def test_multi_matcher_pair_sharded():
+    """One-vs-many over the pair axis: counts match the serial two-view
+    engine's verdicts and the early stop triggers (mods_multi.cpp:229)."""
+    _require_devices(8)
+    from mods_tpu.config import CapacityParams, IterationParams, \
+        RansacParams
+    from mods_tpu.parallel.multi import MultiMatcher
+    from mods_tpu.pipeline import EngineConfig
+    from tests.test_pipeline import textured_image, warp_np
+
+    q = textured_image(128, 160, seed=3)
+    H = np.array([[1.0, 0.0, 8.0], [0.0, 1.0, -5.0], [0, 0, 1.0]])
+    good = warp_np(q, H, 128, 160)
+    rng = np.random.default_rng(9)
+    bad = [np.asarray(textured_image(128, 160, seed=50 + i))
+           for i in range(3)]
+    gallery = [bad[0], good, bad[1], bad[2]]
+
+    cfg = EngineConfig(
+        caps=CapacityParams(per_octave=512, per_view=256, per_image=512,
+                            max_angles=2, tentatives=1024),
+        ransac=RansacParams(err_threshold=3.0, batch_hypotheses=256,
+                            max_rounds=2))
+    mesh = make_mesh({"pair": 4, "kp": 2})
+    m = MultiMatcher([IterationParams()], cfg, mesh=mesh)
+    res = m.match(q, gallery)
+    assert res.counts.shape == (4,)
+    assert res.counts[1] >= cfg.min_matches, res.counts
+    # unrelated textures must not out-match the true pair
+    assert res.counts[1] == res.counts.max(), res.counts
+    assert len(res.xy1[1]) == res.counts[1]
+
+
 def test_global_stop_decision():
     counts = jnp.asarray([12, 3, 40])
     assert not bool(global_stop_decision(counts, 10))

@@ -81,8 +81,8 @@ def test_orsa_rejects_random():
 
 
 def test_orsa_in_pipeline_program():
-    """ver_type=ORSA dispatch through the combined verify program."""
-    from mods_tpu.pipeline import EngineConfig, _verify_program
+    """ver_type=ORSA dispatch through the fused bank-verify program."""
+    from mods_tpu.pipeline import EngineConfig, _verify_bank_program
     from mods_tpu.config import replace
 
     xy1, xy2, true_inl, w, h = two_view_scene(60, 20, seed=5)
@@ -96,8 +96,10 @@ def test_orsa_in_pipeline_program():
     m = np.zeros(cap, bool)
     m[:n] = True
     cfg = replace(EngineConfig(), ver_type="ORSA")
-    vp = _verify_program(cap, cfg, w, h)
-    out = vp(jnp.asarray(p1), jnp.asarray(zA), jnp.asarray(zs),
-             jnp.asarray(p2), jnp.asarray(zA), jnp.asarray(zs),
-             jnp.zeros(cap), jnp.asarray(m), jax.random.PRNGKey(0))
+    part = dict(xy1=jnp.asarray(p1), A1=jnp.asarray(zA),
+                s1=jnp.asarray(zs), xy2=jnp.asarray(p2),
+                A2=jnp.asarray(zA), s2=jnp.asarray(zs),
+                prio=jnp.zeros(cap), mask=jnp.asarray(m))
+    vp = _verify_bank_program((cap,), cap, cfg, w, h, False, False)
+    out = vp((part,), jax.random.PRNGKey(0))
     assert int(out["n_inl"]) >= 8
