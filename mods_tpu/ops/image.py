@@ -13,6 +13,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def to_gray_np(img: np.ndarray) -> np.ndarray:
+    """Host-side to_gray twin: RGB (H, W, 3) or gray (H, W) -> float32
+    equal-weight mean gray (synth-detection.cpp:257-262).  Input images
+    live on the host; converting there avoids a pointless
+    host->device->host round trip of the full image."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 3:
+        img = img.mean(axis=-1, dtype=np.float32)
+    return img
+
+
 def to_gray(img: jax.Array) -> jax.Array:
     """RGB (H, W, 3) or gray (H, W) uint8/float -> float32 mean-gray.
 

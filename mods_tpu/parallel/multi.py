@@ -23,7 +23,7 @@ import numpy as np
 from mods_tpu import synthesis
 from mods_tpu.config import as_rungs
 from mods_tpu.descriptors.registry import get_spec
-from mods_tpu.ops.image import round_up, to_gray
+from mods_tpu.ops.image import round_up
 from mods_tpu.pipeline import (DEVICE_DETECTORS, DeviceStore, EngineConfig,
                                TwoViewMatcher, _fused_group_program,
                                _match_pair_program, _verify_bank_program)
@@ -130,7 +130,9 @@ class MultiMatcher:
         # per-image plans (sizes differ); groups are size-independent
         plans_per_img = [[synthesis.plan_view(v, w, h) for v in views]
                          for (h, w) in sizes]
-        imgs_j = self._shard_pair(jnp.asarray(imgs))
+        if getattr(self, "_imgs_dev", None) is None:
+            self._imgs_dev = self._shard_pair(jnp.asarray(imgs))
+        imgs_j = self._imgs_dev
         pe = cfg.sift.patch_extraction
         n_groups = len(synthesis.group_views(plans_per_img[0]))
         grouped = [synthesis.group_views(p) for p in plans_per_img]
@@ -195,9 +197,11 @@ class MultiMatcher:
         False."""
         cfg = self.cfg
         log = TimeLog()
-        q = np.asarray(to_gray(jnp.asarray(query_img)))
-        gal = [np.asarray(to_gray(jnp.asarray(g))) for g in gallery_imgs]
+        from mods_tpu.ops.image import to_gray_np
+        q = to_gray_np(query_img)
+        gal = [to_gray_np(g) for g in gallery_imgs]
         imgs, sizes = _pad_gallery(gal)
+        self._imgs_dev = None     # uploaded once, reused across rungs
         P_n = imgs.shape[0]
         self.qmatcher._wh = (max(q.shape[1], imgs.shape[2]),
                              max(q.shape[0], imgs.shape[1]))

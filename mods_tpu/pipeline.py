@@ -512,6 +512,48 @@ def _fused_group_program(V: int, h0: int, w0: int, hr: int, wr: int,
     return jax.jit(program)
 
 
+@functools.lru_cache(maxsize=128)
+def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
+                           hc: int, wc: int, sigma_x: float,
+                           sigma_y: float, sx: float, sy: float,
+                           do_blur: bool, identity: bool, K: int,
+                           specs: tuple, cfg: EngineConfig):
+    """render -> orient -> describe -> compact for HOST-stage detectors
+    (MSER, ReadAffs): keypoints are found on the host (native MSER over
+    host-rendered views, native/render.cpp), and only the compact
+    keypoint arrays cross to the device; the device re-renders the views
+    itself for patch description.  Full images/views never cross the
+    host<->device link in either direction."""
+    render = _make_render_fn(V, h0, w0, hr, wr, hc, wc, sigma_x, sigma_y,
+                             sx, sy, do_blur, identity)
+    pe = cfg.sift.patch_extraction
+    desc = _make_desc_fn(V, hc, wc, h0, w0, K, specs, cfg.dom_ori,
+                         pe.mr_size, pe.patch_size, pe.photo_norm,
+                         cfg.caps)
+
+    def program(img, rot_inv, regs_xy, regs_A, regs_s, regs_resp,
+                regs_mask, hinv):
+        views = render(img, rot_inv)
+        return desc(views, regs_xy, regs_A, regs_s, regs_resp, regs_mask,
+                    hinv)
+
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_matches_program(tcap: int, out_cap: int):
+    """Compact verified matches to a small fixed buffer ON DEVICE before
+    the final host read — the only per-pair bulk transfer is
+    (out_cap, 2) x2 instead of the full tentative-capacity arrays."""
+    def program(xy1, xy2, mask):
+        idx = jnp.nonzero(mask, size=out_cap, fill_value=tcap)[0]
+
+        def take(a):
+            return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+        return take(xy1), take(xy2)
+    return jax.jit(program)
+
+
 @functools.lru_cache(maxsize=32)
 def _surf_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
                          threshold: float):
@@ -822,21 +864,33 @@ class TwoViewMatcher:
                 regs = prog(views, valid_hw)
                 self._sync(regs)
             return regs
+        raise KeyError(f"unknown detector {det!r}")
+
+    def _host_stage_regions(self, det: str, g_host: np.ndarray,
+                            group, rot_inv: np.ndarray, hr: int, wr: int,
+                            hc: int, wc: int, log: TimeLog,
+                            img_idx: int) -> dict:
+        """Host-stage detection (MSER, ReadAffs): views rendered by the
+        native host renderer (never transferred from the device), regions
+        returned as padded numpy (V, K, ...) arrays in view coords."""
+        cfg = self.cfg
+        V = len(group)
+        p0 = group[0]
+        cap = cfg.caps.per_view
         if det == "ReadAffs":
             # keypoints ingested from file as a "detector"
             # (imagerepresentation.cpp:721-746); identity view only
-            from mods_tpu.regions import Regions
             path = (self.affs_paths[img_idx]
                     if img_idx < len(self.affs_paths) else None)
             if not path:
                 raise ValueError("ReadAffs detector needs "
                                  "TwoViewMatcher.affs_paths set")
             from mods_tpu.io.oxford import read_kps, read_oxford
-            try:
-                xy, A, s, _ = read_oxford(path)
-            except (ValueError, IndexError):
-                xy, A, s = read_kps(path)
-            cap = cfg.caps.per_view
+            with log.phase("DetectTime"):
+                try:
+                    xy, A, s, _ = read_oxford(path)
+                except (ValueError, IndexError):
+                    xy, A, s = read_kps(path)
             n = min(len(xy), cap)
             z = np.zeros
             out = dict(xy=z((V, cap, 2), np.float32),
@@ -844,44 +898,43 @@ class TwoViewMatcher:
                                  (V, cap, 1, 1)),
                        s=z((V, cap), np.float32),
                        response=z((V, cap), np.float32),
-                       sub_type=z((V, cap), np.int64),
                        mask=z((V, cap), bool))
-            iv = next((i for i, p in enumerate(plans) if p.identity), 0)
+            iv = next((i for i, p in enumerate(group) if p.identity), 0)
             out["xy"][iv, :n] = xy[:n]
             out["A"][iv, :n] = A[:n]
             out["s"][iv, :n] = s[:n]
             out["response"][iv, :n] = 1.0
             out["mask"][iv, :n] = True
-            return Regions(**{k: jnp.asarray(v) for k, v in out.items()})
+            return out
         if det == "MSER":
             from mods_tpu.detectors.mser import detect_msers_padded
-            from mods_tpu.regions import Regions
+            from mods_tpu.ops.host_render import render_group_np
+            valid_hw = np.asarray(
+                [[p.h_new, p.w_new] for p in group], np.int32)
+            with log.phase("SynthTime"):
+                views_np = render_group_np(
+                    g_host, rot_inv, hr, wr, p0.view.do_blur, p0.sigma_x,
+                    p0.sigma_y, p0.tilt_scale[0], p0.tilt_scale[1],
+                    valid_hw, hc, wc, p0.identity)
             with log.phase("DetectTime"):
-                views_np = np.asarray(views)
-                outs = []
-                for v in range(V):
-                    outs.append(detect_msers_padded(
-                        views_np[v], np.asarray(valid_hw[v]), cfg.caps,
-                        min_size=cfg.mser.min_size,
-                        max_area=cfg.mser.max_area,
-                        min_margin=cfg.mser.min_margin))
-                stack = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
-            return Regions(
-                xy=jnp.asarray(stack["xy"]), A=jnp.asarray(stack["A"]),
-                s=jnp.asarray(stack["s"]),
-                response=jnp.asarray(stack["response"]),
-                sub_type=jnp.asarray(stack["sub_type"]),
-                mask=jnp.asarray(stack["mask"]))
-        raise KeyError(f"unknown detector {det!r}")
+                outs = [detect_msers_padded(
+                    views_np[v], valid_hw[v], cfg.caps,
+                    min_size=cfg.mser.min_size,
+                    max_area=cfg.mser.max_area,
+                    min_margin=cfg.mser.min_margin) for v in range(V)]
+            stack = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+            stack.pop("sub_type", None)
+            return stack
+        raise KeyError(f"unknown host-stage detector {det!r}")
 
     def _process_image(self, img: np.ndarray, it: IterationParams,
                        prev_views: list, stores: dict, log: TimeLog,
-                       img_idx: int = 0):
+                       img_idx: int = 0, img_dev=None):
         cfg = self.cfg
         h, w = img.shape
         views, prev_views = synthesis.expand_views(it, prev_views)
         plans = [synthesis.plan_view(v, w, h) for v in views]
-        img_j = jnp.asarray(img)
+        img_j = jnp.asarray(img) if img_dev is None else img_dev
         pe = cfg.sift.patch_extraction
         for group in synthesis.group_views(plans):
             p0 = group[0]
@@ -910,11 +963,32 @@ class TwoViewMatcher:
                 [np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
                                )[:2, :] for p in group], np.float32)
 
+            # Host-stage detectors (MSER, ReadAffs): keypoints computed
+            # on the host over host-rendered views; the device program
+            # re-renders the views for description, so full images never
+            # cross the host<->device link.
+            if it.detector not in DEVICE_DETECTORS:
+                regs = self._host_stage_regions(
+                    it.detector, img, group, rot_inv, hr, wr, hc, wc,
+                    log, img_idx)
+                prog = _fused_hostdet_program(
+                    V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
+                    p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                    p0.identity, cfg.caps.per_view,
+                    tuple(it.descriptors), cfg)
+                with log.phase("DescTime"):
+                    out = prog(img_j, jnp.asarray(rot_inv),
+                               jnp.asarray(regs["xy"]),
+                               jnp.asarray(regs["A"]),
+                               jnp.asarray(regs["s"]),
+                               jnp.asarray(regs["response"]),
+                               jnp.asarray(regs["mask"]),
+                               jnp.asarray(hinv))
+                    self._sync(out)
             # fused single-dispatch path for device detectors; the split
-            # path remains for host-stage detectors (MSER, ReadAffs) and
-            # for sync_timing runs that want the reference's per-phase
-            # wall-clock attribution
-            if it.detector in DEVICE_DETECTORS and not self.sync_timing:
+            # path remains for sync_timing runs that want the
+            # reference's per-phase wall-clock attribution
+            elif not self.sync_timing:
                 prog = _fused_group_program(
                     V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
                     p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
@@ -1087,17 +1161,22 @@ class TwoViewMatcher:
         cfg = self.cfg
         self._gt_h = gt_h
         log = TimeLog()
-        g1 = np.asarray(to_gray(jnp.asarray(img1)))
-        g2 = np.asarray(to_gray(jnp.asarray(img2)))
+        from mods_tpu.ops.image import to_gray_np
+        g1 = to_gray_np(img1)
+        g2 = to_gray_np(img2)
         if cfg.do_clahe:
-            # photometric normalization pass (mods.cpp:139-189,
-            # clip limit 4 as set at mods.cpp:144)
-            from mods_tpu.ops.clahe import clahe
+            # photometric normalization pass (mods.cpp:139-189, clip
+            # limit 4 as set at mods.cpp:144); host-side so the image
+            # only crosses to the device once, already normalized
+            from mods_tpu.ops.clahe import clahe_np
             with log.phase("MiscTime"):
-                g1 = np.asarray(clahe(jnp.asarray(g1), clip_limit=4.0))
-                g2 = np.asarray(clahe(jnp.asarray(g2), clip_limit=4.0))
+                g1 = clahe_np(g1, clip_limit=4.0)
+                g2 = clahe_np(g2, clip_limit=4.0)
         self._wh = (max(g1.shape[1], g2.shape[1]),
                     max(g1.shape[0], g2.shape[0]))
+        # one upload per image per pair; every rung reuses these
+        g1_dev = jnp.asarray(g1)
+        g2_dev = jnp.asarray(g2)
         self._bank = {}
         stores1: dict = {}
         stores2: dict = {}
@@ -1110,9 +1189,11 @@ class TwoViewMatcher:
             steps += 1
             for it in rung.dets:
                 prev1[it.detector] = self._process_image(
-                    g1, it, prev1.get(it.detector, []), stores1, log, 0)
+                    g1, it, prev1.get(it.detector, []), stores1, log, 0,
+                    img_dev=g1_dev)
                 prev2[it.detector] = self._process_image(
-                    g2, it, prev2.get(it.detector, []), stores2, log, 1)
+                    g2, it, prev2.get(it.detector, []), stores2, log, 1,
+                    img_dev=g2_dev)
             # hardcoded tentative drops (mods.cpp:288-289)
             for cstep, cdet, cdesc in cfg.clear_tentatives:
                 if step == cstep:
@@ -1121,19 +1202,13 @@ class TwoViewMatcher:
             out = self._verify_bank(log)
             if out is None:
                 continue
+            # the rung's only host sync: its (scalar) match count
             n_inl = int(out["n_inl"])
             # dual GR_TRUTH mode stops on the RANSAC match count
             # (mods.cpp:412-414)
             n_stop = out.get("extras", {}).get("ransac_matches", n_inl)
             if best is None or n_inl > best[0]:
-                inl = np.asarray(out["inlier_mask"])
-                best = (n_inl, MatchResult(
-                    H=np.asarray(out["model"]),
-                    xy1=np.asarray(out["xy1_all"])[inl],
-                    xy2=np.asarray(out["xy2_all"])[inl],
-                    n_matches=n_inl, n_tentatives=int(out["n_tent"]),
-                    steps_used=steps, log=log,
-                    extras=out.get("extras", {})))
+                best = (n_inl, out, steps)
             if n_stop >= cfg.min_matches:
                 break
         log.finalize()
@@ -1141,6 +1216,15 @@ class TwoViewMatcher:
             return MatchResult(H=np.eye(3), xy1=np.zeros((0, 2)),
                                xy2=np.zeros((0, 2)), n_matches=0,
                                n_tentatives=0, steps_used=steps, log=log)
-        res = best[1]
-        res.steps_used = steps
-        return res
+        # bulk reads only happen once, after the ladder stops, and only
+        # of device-compacted buffers
+        n_inl, out, _ = best
+        tcap = int(out["inlier_mask"].shape[0])
+        cprog = _compact_matches_program(tcap, min(tcap, 4096))
+        cxy1, cxy2 = cprog(out["xy1_all"], out["xy2_all"],
+                           out["inlier_mask"])
+        return MatchResult(
+            H=np.asarray(out["model"]),
+            xy1=np.asarray(cxy1)[:n_inl], xy2=np.asarray(cxy2)[:n_inl],
+            n_matches=n_inl, n_tentatives=int(out["n_tent"]),
+            steps_used=steps, log=log, extras=out.get("extras", {}))

@@ -1,0 +1,167 @@
+// Host-side synthetic-view renderer for host-stage detectors (MSER).
+//
+// Mirrors the device render program (mods_tpu/pipeline.py _make_render_fn
+// / synth-detection.cpp:236-430 semantics): per view, an inverse-map
+// bilinear rotation warp to (hr, wr) with gray-128 fill, an optional
+// separable replicate-border Gaussian anti-alias blur (OpenCV
+// getGaussianKernel-style sampled taps, size int(6*sigma+1) forced odd,
+// min 3 — mods_tpu/ops/gaussian.py gauss_kernel_1d), then the tilt/zoom
+// squash warp to the padded canvas (hc, wc).
+//
+// Rationale: the MSER component tree is inherently sequential and runs on
+// the host (native/mser.cpp); shipping device-rendered views back over
+// the host<->device link is the single most expensive transfer in the
+// pipeline, so the host re-renders the views itself.  OpenMP parallelizes
+// across views and rows.  Compiled via ctypes (no pybind11 dependency).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+inline float bilinear(const float* img, int h, int w, float x, float y,
+                      float fill) {
+  // matches ops/warp.py bilinear_sample: valid iff floor(x) in [0, w-2]
+  // and floor(y) in [0, h-2]
+  const float xf = std::floor(x), yf = std::floor(y);
+  const int x0 = (int)xf, y0 = (int)yf;
+  if (x0 < 0 || y0 < 0 || x0 >= w - 1 || y0 >= h - 1) return fill;
+  const float wx = x - xf, wy = y - yf;
+  const float* row = img + (size_t)y0 * w + x0;
+  const float p00 = row[0], p01 = row[1];
+  const float p10 = row[w], p11 = row[w + 1];
+  const float top = p00 + wx * (p01 - p00);
+  const float bot = p10 + wx * (p11 - p10);
+  return top + wy * (bot - top);
+}
+
+void warp_affine(const float* img, int h, int w, const float* m /*2x3*/,
+                 float* out, int oh, int ow, int ow_stride, float fill) {
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < oh; ++y) {
+    float* orow = out + (size_t)y * ow_stride;
+    const float sx0 = m[1] * y + m[2];
+    const float sy0 = m[4] * y + m[5];
+    for (int x = 0; x < ow; ++x) {
+      orow[x] = bilinear(img, h, w, m[0] * x + sx0, m[3] * x + sy0, fill);
+    }
+  }
+}
+
+std::vector<float> gauss_taps(float sigma) {
+  int size = (int)(2.0f * 3.0f * sigma + 1.0f);
+  if (size % 2 == 0) size += 1;
+  if (size < 3) size = 3;
+  const int half = size / 2;
+  std::vector<float> taps(size);
+  double sum = 0.0;
+  for (int i = 0; i < size; ++i) {
+    const double d = i - half;
+    taps[i] = (float)std::exp(-(d * d) / (2.0 * sigma * sigma));
+    sum += taps[i];
+  }
+  for (int i = 0; i < size; ++i) taps[i] = (float)(taps[i] / sum);
+  return taps;
+}
+
+// separable replicate-border blur of a (h, w) image in place (scratch
+// holds one image)
+void blur_separable(float* img, int h, int w, float sigma_x, float sigma_y,
+                    float* scratch) {
+  const std::vector<float> kx = gauss_taps(sigma_x);
+  const std::vector<float> ky = gauss_taps(sigma_y);
+  const int hx = (int)kx.size() / 2, hy = (int)ky.size() / 2;
+  // vertical pass img -> scratch
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    float* orow = scratch + (size_t)y * w;
+    for (int x = 0; x < w; ++x) orow[x] = 0.0f;
+    for (int k = 0; k < (int)ky.size(); ++k) {
+      int yy = y + k - hy;
+      if (yy < 0) yy = 0;
+      if (yy >= h) yy = h - 1;
+      const float t = ky[k];
+      const float* irow = img + (size_t)yy * w;
+      for (int x = 0; x < w; ++x) orow[x] += t * irow[x];
+    }
+  }
+  // horizontal pass scratch -> img
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    const float* irow = scratch + (size_t)y * w;
+    float* orow = img + (size_t)y * w;
+    for (int x = 0; x < w; ++x) {
+      float acc = 0.0f;
+      for (int k = 0; k < (int)kx.size(); ++k) {
+        int xx = x + k - hx;
+        if (xx < 0) xx = 0;
+        if (xx >= w) xx = w - 1;
+        acc += kx[k] * irow[xx];
+      }
+      orow[x] = acc;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Render V views of one group.  rot_inv: (V, 6) row-major 2x3 inverse
+// rotation maps; out: (V, hc, wc) float32 pre-zeroed or not (fully
+// overwritten up to valid extents, 128-filled elsewhere on the canvas).
+// valid_hw: (V, 2) int32 (h_new, w_new) squash-stage extents.
+// identity==1 copies img into the canvas corner (one view).
+void mods_render_group(const float* img, int h, int w,
+                       const float* rot_inv, int V, int hr, int wr,
+                       int do_blur, float sigma_x, float sigma_y,
+                       float sx_inv, float sy_inv, const int* valid_hw,
+                       int hc, int wc, int identity, float* out) {
+  if (identity) {
+    for (int v = 0; v < V; ++v) {
+      float* o = out + (size_t)v * hc * wc;
+      for (int y = 0; y < hc; ++y) {
+        float* row = o + (size_t)y * wc;
+        if (y < h) {
+          std::memcpy(row, img + (size_t)y * w, sizeof(float) * w);
+          for (int x = w; x < wc; ++x) row[x] = 128.0f;
+        } else {
+          for (int x = 0; x < wc; ++x) row[x] = 128.0f;
+        }
+      }
+    }
+    return;
+  }
+  std::vector<float> rot((size_t)hr * wr), scratch((size_t)hr * wr);
+  const float squash[6] = {sx_inv, 0.0f, 0.0f, 0.0f, sy_inv, 0.0f};
+  for (int v = 0; v < V; ++v) {
+    warp_affine(img, h, w, rot_inv + (size_t)v * 6, rot.data(), hr, wr,
+                wr, 128.0f);
+    if (do_blur) {
+      blur_separable(rot.data(), hr, wr, sigma_x, sigma_y,
+                     scratch.data());
+    }
+    float* o = out + (size_t)v * hc * wc;
+    const int hv = valid_hw[v * 2], wv = valid_hw[v * 2 + 1];
+    warp_affine(rot.data(), hr, wr, squash, o, hv < hc ? hv : hc,
+                wv < wc ? wv : wc, wc, 128.0f);
+    // fill the canvas padding outside the valid extent
+#pragma omp parallel for schedule(static)
+    for (int y = 0; y < hc; ++y) {
+      float* row = o + (size_t)y * wc;
+      if (y < hv) {
+        for (int x = wv; x < wc; ++x) row[x] = 128.0f;
+      } else {
+        for (int x = 0; x < wc; ++x) row[x] = 128.0f;
+      }
+    }
+  }
+}
+
+}  // extern "C"
