@@ -778,7 +778,7 @@ class TwoViewMatcher:
 
     def __init__(self, ladder: list[IterationParams] | None = None,
                  cfg: EngineConfig = EngineConfig(), seed: int = 0,
-                 sync_timing: bool = False):
+                 sync_timing: bool = False, stop_mode: str = "sync"):
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
         self.key = jax.random.PRNGKey(seed)
@@ -789,6 +789,16 @@ class TwoViewMatcher:
         # parity); False lets XLA pipeline the whole rung with a single
         # host sync at the stop decision.
         self.sync_timing = sync_timing
+        # stop_mode: "sync" reads each rung's match count before deciding
+        # to escalate (the reference's control flow, mods.cpp:229-230);
+        # "async" enqueues EVERY rung without any mid-ladder host sync
+        # and reads all counts in one batched transfer at the end,
+        # selecting the result of the first rung that crossed
+        # min_matches — the same answer, bought with (bounded) extra
+        # device work instead of per-rung host round trips.  On a
+        # tunneled/remote device a single host sync costs hundreds of
+        # milliseconds, so "async" is the production serving mode.
+        self.stop_mode = stop_mode
 
     def _sync(self, x):
         if self.sync_timing:
@@ -1151,10 +1161,6 @@ class TwoViewMatcher:
             else:
                 out = vp(tuple(tent_parts), k)
             self._sync(out)
-        if "ransac_matches" in out:
-            out["extras"] = dict(
-                ransac_matches=int(out.pop("ransac_matches")),
-                ransac_true=int(out.pop("ransac_true")))
         return out
 
     def match(self, img1, img2, gt_h=None) -> MatchResult:
@@ -1182,9 +1188,10 @@ class TwoViewMatcher:
         stores2: dict = {}
         prev1: dict = {}      # per-detector accumulated synth views
         prev2: dict = {}
-        best = None
         steps = 0
         rungs = as_rungs(self.ladder)[:cfg.max_steps]
+        outs: list = []               # (step_1based, out) per rung
+        stop_counts: list = []        # host ints, sync mode only
         for step, rung in enumerate(rungs):
             steps += 1
             for it in rung.dets:
@@ -1202,23 +1209,51 @@ class TwoViewMatcher:
             out = self._verify_bank(log)
             if out is None:
                 continue
-            # the rung's only host sync: its (scalar) match count
-            n_inl = int(out["n_inl"])
-            # dual GR_TRUTH mode stops on the RANSAC match count
-            # (mods.cpp:412-414)
-            n_stop = out.get("extras", {}).get("ransac_matches", n_inl)
-            if best is None or n_inl > best[0]:
-                best = (n_inl, out, steps)
-            if n_stop >= cfg.min_matches:
-                break
-        log.finalize()
-        if best is None:
+            outs.append((steps, out))
+            if self.stop_mode == "sync":
+                # the rung's only host sync: its (scalar) match count;
+                # dual GR_TRUTH mode stops on the RANSAC match count
+                # (mods.cpp:412-414)
+                n_inl = int(out["n_inl"])
+                n_stop = (int(out["ransac_matches"])
+                          if "ransac_matches" in out else n_inl)
+                stop_counts.append((n_inl, n_stop))
+                if n_stop >= cfg.min_matches:
+                    break
+        if not outs:
+            log.finalize()
             return MatchResult(H=np.eye(3), xy1=np.zeros((0, 2)),
                                xy2=np.zeros((0, 2)), n_matches=0,
                                n_tentatives=0, steps_used=steps, log=log)
+        if self.stop_mode == "sync":
+            inls = [n for n, _ in stop_counts]
+            nstops = [s for _, s in stop_counts]
+        else:
+            # one batched count read for the whole ladder (async mode):
+            # every rung was enqueued without a host sync
+            with log.phase("MiscTime"):
+                packed = jnp.stack(
+                    [jnp.stack([o["n_inl"],
+                                o.get("ransac_matches", o["n_inl"])])
+                     for _, o in outs])
+                counts = np.asarray(packed)
+            inls = [int(c[0]) for c in counts]
+            nstops = [int(c[1]) for c in counts]
+        # first rung that crossed min_matches ends the ladder
+        # (mods.cpp:229-230); the result is the best rung up to there
+        stop_i = next((i for i, s in enumerate(nstops)
+                       if s >= cfg.min_matches), len(outs) - 1)
+        best_i = max(range(stop_i + 1), key=lambda i: inls[i])
+        steps_used = (outs[stop_i][0]
+                      if nstops[stop_i] >= cfg.min_matches else steps)
+        n_inl, out = inls[best_i], outs[best_i][1]
+        log.finalize()
+        extras = {}
+        if "ransac_matches" in out:
+            extras = dict(ransac_matches=int(out["ransac_matches"]),
+                          ransac_true=int(out["ransac_true"]))
         # bulk reads only happen once, after the ladder stops, and only
         # of device-compacted buffers
-        n_inl, out, _ = best
         tcap = int(out["inlier_mask"].shape[0])
         cprog = _compact_matches_program(tcap, min(tcap, 4096))
         cxy1, cxy2 = cprog(out["xy1_all"], out["xy2_all"],
@@ -1227,4 +1262,4 @@ class TwoViewMatcher:
             H=np.asarray(out["model"]),
             xy1=np.asarray(cxy1)[:n_inl], xy2=np.asarray(cxy2)[:n_inl],
             n_matches=n_inl, n_tentatives=int(out["n_tent"]),
-            steps_used=steps, log=log, extras=out.get("extras", {}))
+            steps_used=steps_used, log=log, extras=extras)

@@ -154,3 +154,27 @@ def test_tilted_pair_with_synthesis():
     cfg = small_cfg()
     m = TwoViewMatcher(ladder, cfg).match(img1, img2)
     assert m.n_matches >= 8, (m.n_matches, m.n_tentatives, m.steps_used)
+
+
+def test_async_stop_mode_matches_sync():
+    """stop_mode="async" enqueues every rung and reads one batched count
+    vector; it must select the same stopping rung and produce the same
+    matches as the reference-style per-rung sync control flow."""
+    img1 = textured_image(160, 224, seed=11)
+    H = np.array([[1.0, 0.0, 18.0], [0.0, 1.0, -7.0], [0, 0, 1.0]])
+    img2 = warp_np(img1, H, 160, 224)
+    ladder = [
+        IterationParams(tilt_set=(1.0,), scale_set=(1.0,)),
+        IterationParams(tilt_set=(1.0, 4.0), scale_set=(1.0,),
+                        phi_base=360.0),
+    ]
+    cfg = small_cfg()
+    ms = TwoViewMatcher(ladder, cfg, seed=3).match(img1, img2)
+    ma = TwoViewMatcher(ladder, cfg, seed=3,
+                        stop_mode="async").match(img1, img2)
+    # identical PRNG seeds + identical programs => identical selection
+    assert ms.steps_used == ma.steps_used
+    assert ms.n_matches == ma.n_matches
+    assert ms.n_tentatives == ma.n_tentatives
+    np.testing.assert_allclose(ms.xy1, ma.xy1)
+    np.testing.assert_allclose(ms.H, ma.H, rtol=1e-5, atol=1e-5)
