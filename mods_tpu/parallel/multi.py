@@ -24,7 +24,7 @@ from mods_tpu import synthesis
 from mods_tpu.config import as_rungs
 from mods_tpu.descriptors.registry import get_spec
 from mods_tpu.ops.image import round_up
-from mods_tpu.pipeline import (DEVICE_DETECTORS, DeviceStore, EngineConfig,
+from mods_tpu.pipeline import (DeviceStore, EngineConfig,
                                TwoViewMatcher, _fused_group_program,
                                _match_pair_program, _verify_bank_program)
 from mods_tpu.timing import TimeLog
@@ -122,7 +122,7 @@ class MultiMatcher:
         device detectors are supported on this axis (MSER galleries fall
         back to the serial CLI path)."""
         cfg = self.cfg
-        if it.detector not in DEVICE_DETECTORS:
+        if not self.qmatcher._device_det(it.detector):
             raise NotImplementedError(
                 f"{it.detector} needs a host stage; use the serial path")
         P_n = imgs.shape[0]

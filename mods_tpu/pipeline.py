@@ -49,10 +49,19 @@ MIN_POINTS = 8  # matching.hpp MIN_POINTS
 
 @dataclass(frozen=True)
 class MserParams:
-    """reference [MSER] config section (io_mods.cpp)."""
+    """reference [MSER] config section (io_mods.cpp).
+
+    backend selects the implementation: "device" = the batched TPU
+    level-sweep (detectors/mser_tpu.py — fuses into the group program,
+    no host round trips), "host" = the native union-find component tree
+    (native/mser.cpp over host-rendered views — the bit-faithful-margin
+    twin)."""
     min_size: int = 30
     max_area: float = 0.05
     min_margin: int = 8
+    backend: str = "device"
+    levels: int = 32
+    passes: int = 3
 
 
 @dataclass(frozen=True)
@@ -483,6 +492,12 @@ def _make_detect_fn(det: str, cfg: EngineConfig):
     if det == "FAST":
         from mods_tpu.detectors.corners import detect_fast
         return lambda v, hw, rn: detect_fast(v, hw, caps)
+    if det == "MSER":
+        from mods_tpu.detectors.mser_tpu import detect_mser_tpu
+        mp = cfg.mser
+        return lambda v, hw, rn: detect_mser_tpu(
+            v, hw, caps, min_size=mp.min_size, max_area=mp.max_area,
+            min_margin=mp.min_margin, levels=mp.levels, passes=mp.passes)
     raise KeyError(det)
 
 
@@ -599,6 +614,19 @@ def _corner_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
         if det == "BRISK":      # multi-scale FAST pyramid
             return detect_orb(views, valid_hw, caps)
         return detect_fast(views, valid_hw, caps)
+    return jax.jit(program)
+
+
+@functools.lru_cache(maxsize=32)
+def _mser_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
+                         mp: MserParams):
+    from mods_tpu.detectors.mser_tpu import detect_mser_tpu
+
+    def program(views, valid_hw):
+        return detect_mser_tpu(
+            views, valid_hw, caps, min_size=mp.min_size,
+            max_area=mp.max_area, min_margin=mp.min_margin,
+            levels=mp.levels, passes=mp.passes)
     return jax.jit(program)
 
 
@@ -805,6 +833,11 @@ class TwoViewMatcher:
             jax.block_until_ready(x)
         return x
 
+    def _device_det(self, det: str) -> bool:
+        if det == "MSER":
+            return self.cfg.mser.backend == "device"
+        return det in DEVICE_DETECTORS
+
     # -- feature extraction ------------------------------------------------
 
     def _region_budgets(self, plans, det):
@@ -870,6 +903,12 @@ class TwoViewMatcher:
             # detector without orientation; keep FAST single-scale and
             # STAR center-surround (imagerepresentation.cpp:1077-1224)
             prog = _corner_detect_program(V, hc, wc, cfg.caps, det)
+            with log.phase("DetectTime"):
+                regs = prog(views, valid_hw)
+                self._sync(regs)
+            return regs
+        if det == "MSER":       # device backend (split/timing path)
+            prog = _mser_detect_program(V, hc, wc, cfg.caps, cfg.mser)
             with log.phase("DetectTime"):
                 regs = prog(views, valid_hw)
                 self._sync(regs)
@@ -973,11 +1012,11 @@ class TwoViewMatcher:
                 [np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
                                )[:2, :] for p in group], np.float32)
 
-            # Host-stage detectors (MSER, ReadAffs): keypoints computed
-            # on the host over host-rendered views; the device program
-            # re-renders the views for description, so full images never
-            # cross the host<->device link.
-            if it.detector not in DEVICE_DETECTORS:
+            # Host-stage detectors (host-backend MSER, ReadAffs):
+            # keypoints computed on the host over host-rendered views;
+            # the device program re-renders the views for description,
+            # so full images never cross the host<->device link.
+            if not self._device_det(it.detector):
                 regs = self._host_stage_regions(
                     it.detector, img, group, rot_inv, hr, wr, hc, wc,
                     log, img_idx)
