@@ -46,10 +46,24 @@ def main():
     cfg, ladder = _build_engine(f"{REF_DIR}/config_iter_mods_cviu.ini",
                                 f"{REF_DIR}/iters_mods_cviu.ini",
                                 ver_type="LORANSACH")
-    matcher = TwoViewMatcher(ladder, cfg)
+    # "pipelined" stop mode: rungs enqueue without blocking; completed
+    # counts are polled non-blockingly for the early stop — built for
+    # the tunneled-TPU serving path (per-rung host syncs cost 100s ms)
+    matcher = TwoViewMatcher(ladder, cfg, stop_mode="pipelined")
 
-    # warmup: compile every rung program once (persistent-cached)
-    res = matcher.match(img1, img2)
+    # warmup: compile every rung program once (persistent-cached).  The
+    # remote compile service intermittently drops connections on big
+    # programs; each retry resumes from the compile cache.
+    import jax
+    for attempt in range(8):
+        try:
+            res = matcher.match(img1, img2)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if "INTERNAL" not in str(e) or attempt == 7:
+                raise
+            print(f"warmup retry {attempt + 1}: {str(e)[:120]}",
+                  file=sys.stderr)
 
     rng = np.random.default_rng(0)
     iters = 5

@@ -221,10 +221,13 @@ class CapacityParams:
     """Static capacities for fixed-shape TPU programs (no reference
     counterpart — the reference grows std::vectors dynamically)."""
     per_octave: int = 8192     # candidate extrema per octave per view
-    per_view: int = 4096       # detected regions per synthetic view
-    per_image: int = 16384     # regions per image after view concat
+    per_view: int = 2048       # detected regions per synthetic view
+    per_group: int = 2048      # compacted regions per view GROUP — the
+    #                            orient/describe row count (pipeline
+    #                            stage-1/2 compaction)
+    per_image: int = 8192      # regions per image after view concat
     max_angles: int = 4        # orientation peaks kept per region
-    tentatives: int = 8192     # tentative correspondences
+    tentatives: int = 2048     # tentative correspondences
 
 
 @dataclass(frozen=True)

@@ -114,9 +114,7 @@ def extract_descriptor_patches_mip(mips: jax.Array, valid_hw: jax.Array,
 
     mips/valid_hw from mods_tpu.ops.sampler.mip_stack(img, DESC_MIP_LEVELS).
     """
-    from mods_tpu.ops.gaussian import blur_band_matrix
     from mods_tpu.ops.sampler import sample_affine_patches, select_level
-    import numpy as np
     P = patch_size
     t = image_to_patch_scale(s, mr_size, P)          # (K,)
     As = A * t[:, None, None]
@@ -124,7 +122,19 @@ def extract_descriptor_patches_mip(mips: jax.Array, valid_hw: jax.Array,
     raw = sample_affine_patches(
         mips, lvl, xy / scale[:, None], As / scale[:, None, None],
         P, valid_hw)
+    return aa_filter_patches(raw, lvl, t, photo_norm=photo_norm)
 
+
+def aa_filter_patches(raw: jax.Array, lvl: jax.Array, t: jax.Array,
+                      photo_norm: bool = False) -> jax.Array:
+    """The post-sampling half of the AA pipeline (shared by the
+    per-view and cross-view-compacted paths): the reference's
+    1.5-sampling-step Gaussian as a band-matrix matmul, reduced for
+    mip levels that already carry prefilter, plus the direct path for
+    t <= 0.4 (synth-detection.hpp:196-200)."""
+    from mods_tpu.ops.gaussian import blur_band_matrix
+    import numpy as np
+    P = raw.shape[-1]
     B15 = jnp.asarray(np.asarray(blur_band_matrix(P, 1.5), np.float32))
     B09 = jnp.asarray(np.asarray(blur_band_matrix(P, 0.9), np.float32))
 

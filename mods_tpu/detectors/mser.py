@@ -26,15 +26,28 @@ MSER_PLUS = 21   # dark regions (reference sub_type, extrema.cpp)
 MSER_MIN = 20
 
 
-@functools.lru_cache(maxsize=1)
-def _lib():
-    src = os.path.abspath(os.path.join(NATIVE_DIR, "mser.cpp"))
-    so = os.path.abspath(os.path.join(NATIVE_DIR, "libmods_mser.so"))
+def build_native(src_name: str, so_name: str,
+                 extra_flags: tuple = ()) -> str:
+    """Compile a native/ source into a machine-local cache dir (never
+    committed — a .so built elsewhere may use a different ISA) and
+    return the path.  Rebuilds when the source is newer."""
+    import platform
+    src = os.path.abspath(os.path.join(NATIVE_DIR, src_name))
+    cache = os.path.join(NATIVE_DIR, ".cache", platform.machine())
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, so_name)
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+            ["g++", "-O3", "-shared", "-fPIC", *extra_flags,
+             "-o", so, src],
             check=True)
+    return so
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    so = build_native("mser.cpp", "libmods_mser.so")
     lib = ctypes.CDLL(so)
     lib.mods_mser_detect.restype = ctypes.c_int
     lib.mods_mser_detect.argtypes = [

@@ -183,12 +183,18 @@ def brief_descriptors(img: jax.Array, xy: jax.Array, A: jax.Array,
     xy + A @ p * (s * mr_size / 31 * ...) — i.e. pattern coords are in
     the 31px patch frame scaled to the region size.
     """
-    from mods_tpu.ops.gaussian import blur_band_matrix
-    pat = jnp.asarray(brief_pattern(n_bits))       # (B, 2, 2)
-    # sample a smoothed 31-patch then compare pattern points in it
     patch = 31
     scale = (s * mr_size / patch)[:, None, None]
     p = extract_patches(img, xy, A * scale, patch)  # (K, 31, 31)
+    return brief_from_patches(p, n_bits)
+
+
+def brief_from_patches(p: jax.Array, n_bits: int = 256) -> jax.Array:
+    """rBRIEF bits from already-sampled (K, 31, 31) patches (the
+    cross-view-compacted pipeline samples the patches itself)."""
+    from mods_tpu.ops.gaussian import blur_band_matrix
+    pat = jnp.asarray(brief_pattern(n_bits))       # (B, 2, 2)
+    patch = p.shape[-1]
     M = jnp.asarray(blur_band_matrix(patch, 1.0))
     p = jnp.einsum("ij,kjc->kic", M, p)
     p = jnp.einsum("kic,jc->kij", p, M)

@@ -157,10 +157,16 @@ def parse_mser_config(ini: dict):
     from mods_tpu.pipeline import MserParams
     sec = ini.get("MSER", {})
     g = lambda k, d: float(_strip_value(sec.get(k, str(d))))
+    backend = _strip_value(sec.get("backend", "host")).lower()
+    if backend not in ("host", "device"):
+        backend = "host"
     return MserParams(
         min_size=int(g("min_size", 30)),
         max_area=g("max_area", 0.05),
         min_margin=int(g("min_margin", 8)),
+        backend=backend,
+        levels=int(g("levels", 32)),
+        passes=int(g("passes", 3)),
     )
 
 

@@ -70,6 +70,52 @@ def _conv1d(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
     return y.reshape(lead + y.shape[-2:])
 
 
+def _band_matrix_rt(n: int, sigma: jax.Array, radius: int) -> jax.Array:
+    """(n, n) replicate-border Gaussian band matrix built IN-GRAPH from a
+    traced sigma — so one compiled render program serves every view
+    group's anti-alias blur (sigmas vary per tilt/zoom;
+    synth-detection.cpp:349-363).  Tap support is the reference's
+    ``int(6*sigma+1)`` odd window, zero-padded to the static 2*radius+1
+    band."""
+    sigma = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-6)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    size = jnp.floor(6.0 * sigma + 1.0)
+    size = size + (1.0 - jnp.mod(size, 2.0))      # force odd
+    size = jnp.maximum(size, 3.0)
+    half = (size - 1.0) / 2.0
+    taps = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    taps = jnp.where(jnp.abs(x) <= half, taps, 0.0)
+    taps = taps / jnp.sum(taps)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    M = jnp.zeros((n, n), jnp.float32)
+    for k in range(2 * radius + 1):
+        j = jnp.clip(rows + (k - radius), 0, n - 1)
+        M = M + jnp.where(cols == j, taps[k], 0.0)
+    return M
+
+
+# static band radius for the runtime-sigma blur: covers int(6*sigma+1)
+# for every sigma the synthesis grids produce (tilt<=12 at initSigma 0.8
+# -> sigma_aa 4.8 -> half-window 14)
+RT_BLUR_RADIUS = 15
+
+
+def gaussian_blur_rt(img: jax.Array, sigma_x: jax.Array,
+                     sigma_y: jax.Array,
+                     radius: int = RT_BLUR_RADIUS) -> jax.Array:
+    """Anisotropic replicate-border blur of (..., H, W) with TRACED
+    sigmas, as two banded matmuls (MXU path)."""
+    h, w = img.shape[-2], img.shape[-1]
+    My = _band_matrix_rt(h, sigma_y, radius)
+    Mx = _band_matrix_rt(w, sigma_x, radius)
+    out = jnp.einsum("ij,...jk->...ik", My, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("...ij,kj->...ik", out, Mx,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
 def gaussian_blur(img: jax.Array, sigma: float,
                   sigma_y: float | None = None) -> jax.Array:
     """Blur (..., H, W) with replicate-border separable Gaussian.

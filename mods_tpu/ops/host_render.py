@@ -21,14 +21,9 @@ NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    src = os.path.abspath(os.path.join(NATIVE_DIR, "render.cpp"))
-    so = os.path.abspath(os.path.join(NATIVE_DIR, "libmods_render.so"))
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-             "-fPIC", "-o", so, src],
-            check=True)
+    from mods_tpu.detectors.mser import build_native
+    so = build_native("render.cpp", "libmods_render.so",
+                      extra_flags=("-fopenmp",))
     lib = ctypes.CDLL(so)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.mods_render_group.restype = None

@@ -32,16 +32,16 @@ from mods_tpu.timing import TimeLog
 
 @functools.lru_cache(maxsize=256)
 def _batched_group_program(P: int, V: int, h0: int, w0: int, hr: int,
-                           wr: int, hc: int, wc: int, sigma_x: float,
-                           sigma_y: float, sx: float, sy: float,
+                           wr: int, hc: int, wc: int,
                            do_blur: bool, identity: bool, det: str,
                            specs: tuple, cfg: EngineConfig):
     """The fused per-group program vmapped over the gallery axis."""
     base = _fused_group_program.__wrapped__(
-        V, h0, w0, hr, wr, hc, wc, sigma_x, sigma_y, sx, sy, do_blur,
-        identity, det, specs, cfg)
+        V, h0, w0, hr, wr, hc, wc, do_blur, identity, det, specs, cfg)
     # __wrapped__ gives the jitted program; vmap composes fine with it
-    return jax.jit(jax.vmap(base, in_axes=(0, 0, 0, None, 0)))
+    # axes: (img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn, hinv)
+    return jax.jit(jax.vmap(
+        base, in_axes=(0, 0, None, None, None, 0, None, 0)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -140,20 +140,24 @@ class MultiMatcher:
         for gi in range(n_groups):
             pgroups = [g[gi] for g in grouped]      # per image, this group
             V = len(pgroups[0])
+            Vb = synthesis.snap_views(V)
             p0 = pgroups[0][0]
             h0, w0 = imgs.shape[1], imgs.shape[2]
             if p0.identity:
                 hr = wr = 0
-                hc, wc = round_up(h0, 128), round_up(w0, 128)
-                rot_inv = np.zeros((P_n, V, 2, 3), np.float32)
+                hc = synthesis.snap_dim(h0)
+                wc = synthesis.snap_dim(w0)
+                rot_inv = np.zeros((P_n, Vb, 2, 3), np.float32)
             else:
-                hr = max(p.h_rot for g in pgroups for p in g)
-                wr = max(p.w_rot for g in pgroups for p in g)
-                hc = round_up(max(p.h_new for g in pgroups for p in g),
-                              128)
-                wc = round_up(max(p.w_new for g in pgroups for p in g),
-                              128)
-                rot_inv = np.zeros((P_n, V, 2, 3), np.float32)
+                hr = synthesis.snap_dim(
+                    max(p.h_rot for g in pgroups for p in g))
+                wr = synthesis.snap_dim(
+                    max(p.w_rot for g in pgroups for p in g))
+                hc = synthesis.snap_dim(
+                    max(p.h_new for g in pgroups for p in g))
+                wc = synthesis.snap_dim(
+                    max(p.w_new for g in pgroups for p in g))
+                rot_inv = np.zeros((P_n, Vb, 2, 3), np.float32)
                 for i, g in enumerate(pgroups):
                     for v, p in enumerate(g):
                         a, b, tx, c, d, ty = p.rot
@@ -163,22 +167,32 @@ class MultiMatcher:
                         rot_inv[i, v] = [
                             [ia, ib, -(ia * tx + ib * ty)],
                             [ic, id_, -(ic * tx + id_ * ty)]]
-            valid_hw = np.asarray(
+                    rot_inv[i, V:] = rot_inv[i, 0]
+            sx, sy = p0.tilt_scale
+            squash_inv = np.asarray(
+                [[1.0 / sx, 0.0, 0.0], [0.0, 1.0 / sy, 0.0]], np.float32)
+            valid_hw = np.zeros((P_n, Vb, 2), np.int32)
+            valid_hw[:, :V] = np.asarray(
                 [[[p.h_new, p.w_new] for p in g] for g in pgroups],
                 np.int32)
             hinv = np.asarray(
                 [[np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
                                 )[:2, :] for p in g] for g in pgroups],
                 np.float32)
+            if Vb > V:
+                hinv = np.concatenate(
+                    [hinv, np.repeat(hinv[:, :1], Vb - V, 1)], axis=1)
             prog = _batched_group_program(
-                P_n, V, h0, w0, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
-                p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
                 p0.identity, it.detector, tuple(it.descriptors), cfg)
             with log.phase("DetectTime"):
                 out = prog(imgs_j, self._shard_pair(jnp.asarray(rot_inv)),
+                           jnp.asarray(squash_inv),
+                           np.float32(p0.sigma_x), np.float32(p0.sigma_y),
                            self._shard_pair(jnp.asarray(valid_hw)),
                            self.qmatcher._region_budgets(pgroups[0],
-                                                         it.detector),
+                                                         it.detector,
+                                                         Vb),
                            self._shard_pair(jnp.asarray(hinv)))
             for name, d in out.items():
                 key = (it.detector, name)

@@ -59,7 +59,11 @@ class MserParams:
     min_size: int = 30
     max_area: float = 0.05
     min_margin: int = 8
-    backend: str = "device"
+    # "host" (the default) is the reference-faithful native component
+    # tree; "device" is an opt-in experimental level-sweep that trades
+    # exactness for staying on the TPU (it quantizes levels and is NOT
+    # at parity on real textures — see tests/test_mser.py).
+    backend: str = "host"
     levels: int = 32
     passes: int = 3
 
@@ -226,21 +230,23 @@ class DeviceStore:
 # compiled per-group programs
 
 def _make_render_fn(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
-                    wc: int, sigma_x: float, sigma_y: float, sx: float,
-                    sy: float, do_blur: bool, identity: bool):
-    from mods_tpu.ops.gaussian import gaussian_blur
+                    wc: int, do_blur: bool, identity: bool):
+    """Batched view-group renderer.  The per-group geometry (rotation
+    maps, anti-alias sigmas, squash scales) arrives as RUNTIME inputs so
+    one compiled program serves every group with the same bucketed
+    (V, canvas) shape — the compiled-program count is what the remote
+    TPU compile service cannot absorb, not the FLOPs."""
+    from mods_tpu.ops.gaussian import gaussian_blur_rt
     from mods_tpu.ops.warp import affine_warp
 
-    def render(img, rot_inv):
+    def render(img, rot_inv, squash_inv, sig_x, sig_y):
         if identity:
             views = jnp.full((V, hc, wc), 128.0, img.dtype)
             return views.at[:, :h0, :w0].set(img[None])
         rots = jax.vmap(lambda m: affine_warp(
             img, m, hr, wr, fill=128.0))(rot_inv)
         if do_blur:
-            rots = gaussian_blur(rots, sigma_x, sigma_y)
-        squash_inv = jnp.asarray(
-            [[1.0 / sx, 0.0, 0.0], [0.0, 1.0 / sy, 0.0]], jnp.float32)
+            rots = gaussian_blur_rt(rots, sig_x, sig_y)
         return jax.vmap(lambda im: affine_warp(
             im, squash_inv, hc, wc, fill=128.0))(rots)
 
@@ -249,10 +255,9 @@ def _make_render_fn(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
 
 @functools.lru_cache(maxsize=128)
 def _render_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
-                    wc: int, sigma_x: float, sigma_y: float, sx: float,
-                    sy: float, do_blur: bool, identity: bool):
-    return jax.jit(_make_render_fn(V, h0, w0, hr, wr, hc, wc, sigma_x,
-                                   sigma_y, sx, sy, do_blur, identity))
+                    wc: int, do_blur: bool, identity: bool):
+    return jax.jit(_make_render_fn(V, h0, w0, hr, wr, hc, wc, do_blur,
+                                   identity))
 
 
 @functools.lru_cache(maxsize=128)
@@ -269,13 +274,23 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                   pe_mr: float, pe_patch: int, pe_photo: bool,
                   caps: CapacityParams):
     """views + Regions(V, K) + hinv -> per-descriptor COMPACTED regions
-    (C=per_image rows) ready for DeviceStore.append.  Orientation
-    families (SIFT-like vs HalfSIFT-like,
-    imagerepresentation.cpp:1253-1269) are computed once each; SIFT
-    variants share patches and histograms and differ only in
-    folding/normalization (siftdesc.cpp operator())."""
+    ready for DeviceStore.append.
+
+    TPU structure: detections are compacted ACROSS the whole view group
+    to C=caps.per_group rows (with a per-row source-view index) BEFORE
+    any patch work, so orientation + description each process C rows
+    total instead of V*K padded rows — detections are sparse in the
+    padded (V, K) slabs and patch extraction is the pipeline's dominant
+    compute.  Orientation families (SIFT-like vs HalfSIFT-like,
+    imagerepresentation.cpp:1253-1269) share one gradient histogram and
+    differ only in peak folding; SIFT variants share patches and
+    histograms and differ only in folding/normalization
+    (siftdesc.cpp operator())."""
     specs = tuple(get_spec(s) for s in specs)
     M = caps.max_angles
+    # self-limiting compaction rows: never wider than the input slabs
+    C1 = min(caps.per_group, V * K)          # detection-stage rows
+    C2 = min(caps.per_group, C1 * M)         # descriptor-stage rows
 
     def fam_key(sp):
         if sp.kind == "binary":
@@ -284,101 +299,157 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
 
     families = sorted({fam_key(sp) for sp in specs})
 
-    def _reproject(xy_f, A_f, s_f, m_f, hinv):
-        lin = hinv[:, :, :2]
-        xy_r = (jnp.einsum("vab,vkb->vka", lin, xy_f)
-                + hinv[:, None, :, 2])
-        A_r = jnp.einsum("vab,vkbc->vkac", lin, A_f)
-        inside = ((xy_r[..., 0] > 0) & (xy_r[..., 0] < w0)
-                  & (xy_r[..., 1] > 0) & (xy_r[..., 1] < h0))
-        half = jnp.ceil(K_SIGMA * s_f / 2.0)
-        tb = jax.vmap(lambda xyv, Av, hv: touches_border(
-            w0, h0, xyv, Av, hv, hv))(xy_r, A_r, half)
-        return xy_r, A_r, m_f & inside & ~tb
+    def program(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
+                regs_mask, hinv):
+        from mods_tpu.descriptors.describe import (DESC_MIP_LEVELS,
+                                                   aa_filter_patches)
+        from mods_tpu.descriptors.orientation import (find_peaks,
+                                                      orientation_histograms,
+                                                      smooth_circular)
+        from mods_tpu.descriptors.sift import sift_histograms, sift_norm
+        from mods_tpu.ops.sampler import (mip_stack, sample_affine_patches,
+                                          select_level)
+        L = DESC_MIP_LEVELS
+        mips_v, mip_hw = jax.vmap(lambda v: mip_stack(v, L))(views)
+        Hp, Wp = mips_v.shape[-2:]
+        src = mips_v.reshape(V * L, Hp, Wp)
+        hw_flat = mip_hw.reshape(V * L, 2)
 
-    def one_family(views, regs_xy, regs_A, regs_s, regs_mask, hinv,
-                   fam: str, mips_v, mip_hw):
-        if fam == "none":
-            # non-SIFT-like path: detected regions used directly
-            # (imagerepresentation.cpp:1299-1302)
-            xy_f = regs_xy.reshape(V, K, 2)
-            A_f = regs_A.reshape(V, K, 2, 2)
-            s_f = regs_s.reshape(V, K)
-            m_f = regs_mask.reshape(V, K)
-            xy_r, A_r, m_f = _reproject(xy_f, A_f, s_f, m_f, hinv)
-            return xy_f, A_f, s_f, m_f, xy_r, A_r
+        # stage 1: compact detections across views (bucket-padded views
+        # carry valid_hw == 0 and are dropped here)
+        view_ok = valid_hw[:, 0] > 0
+        mask0 = regs_mask.reshape(V, K) & view_ok[:, None]
+        flat0 = mask0.reshape(-1)
+        n1 = jnp.sum(flat0.astype(jnp.int32))
+        idx1 = jnp.nonzero(flat0, size=C1, fill_value=flat0.shape[0])[0]
+        ok1 = jnp.arange(C1) < jnp.minimum(n1, C1)
+        vidx = jnp.minimum(idx1 // K, V - 1).astype(jnp.int32)
 
-        def ori_one(view, xy, A, s, m, mips):
-            return detect_orientations(
-                view, xy, A, s, m,
-                dom_ori.patch_extraction.mr_size,
-                dom_ori.patch_extraction.patch_size, M,
-                dom_ori.threshold,
-                half_sift=(fam == "half" or dom_ori.half_sift_mode),
-                mip_src=(mips, mip_hw[0]))
-        angles, amask = jax.vmap(ori_one)(
-            views, regs_xy, regs_A, regs_s, regs_mask, mips_v)
-        if dom_ori.max_angles >= 0:
-            amask = amask & (jnp.arange(M) < dom_ori.max_angles)[None, None]
-        if dom_ori.add_up_right:
-            # keep one un-rotated copy of every region in the last
-            # angle slot (addUpRight, synth-detection.cpp:913-915)
-            angles = angles.at[..., M - 1].set(0.0)
-            amask = amask.at[..., M - 1].set(regs_mask)
-        Arot = jax.vmap(rotate_shapes)(regs_A, angles)
+        def take1(a):
+            flat = a.reshape((V * K,) + a.shape[2:])
+            return jnp.take(flat, idx1, axis=0, mode="fill", fill_value=0)
 
-        xy_f = jnp.repeat(regs_xy[:, :, None], M, 2).reshape(V, K * M, 2)
-        A_f = Arot.reshape(V, K * M, 2, 2)
-        s_f = jnp.repeat(regs_s[:, :, None], M, 2).reshape(V, K * M)
-        m_f = amask.reshape(V, K * M)
-        xy_r, A_r, m_f = _reproject(xy_f, A_f, s_f, m_f, hinv)
-        return xy_f, A_f, s_f, m_f, xy_r, A_r
+        xy1 = take1(regs_xy)
+        A1 = take1(regs_A)
+        s1 = take1(regs_s)
+        r1 = take1(regs_resp)
+        vh = valid_hw[vidx].astype(jnp.float32)     # (C, 2) view dims
+        hv = hinv[vidx]                             # (C, 2, 3)
+        lin = hv[:, :, :2]
+        xy_r1 = (jnp.einsum("cab,cb->ca", lin, xy1) + hv[:, :, 2])
+        inside1 = ((xy_r1[:, 0] > 0) & (xy_r1[:, 0] < w0)
+                   & (xy_r1[:, 1] > 0) & (xy_r1[:, 1] < h0))
 
-    def program(views, regs_xy, regs_A, regs_s, regs_resp, regs_mask,
-                hinv):
-        from mods_tpu.descriptors.describe import DESC_MIP_LEVELS
-        from mods_tpu.ops.sampler import mip_stack
-        mips_v, mip_hw = jax.vmap(
-            lambda v: mip_stack(v, DESC_MIP_LEVELS))(views)
+        # shared orientation histogram (families differ only in folding)
+        o_pe = dom_ori.patch_extraction
+        P_o = o_pe.patch_size
+        need_ori = any(f != "none" for f in families)
+        if need_ori:
+            patch_image_size = 2 * int(o_pe.mr_size) + 1
+            img_to_patch = patch_image_size / P_o
+            k_sigma = 6.0 * 1.7320508
+            half_e = jnp.ceil(k_sigma * s1 / 2.0)
+            bad_o = touches_border(vh[:, 1:2], vh[:, 0:1], xy1, A1,
+                                   half_e, half_e)
+            ok_o = ok1 & ~bad_o
+            As_o = A1 * (img_to_patch * s1)[:, None, None]
+            lvl_o, sc_o = select_level(As_o, P_o, L)
+            patches_o = sample_affine_patches(
+                src, vidx * L + lvl_o, xy1 / sc_o[:, None],
+                As_o / sc_o[:, None, None], P_o, hw_flat)
+            hist_o = smooth_circular(orientation_histograms(patches_o))
+
+        def stage2(fam):
+            """-> compacted descriptor-stage rows for one family."""
+            if fam == "none":
+                # non-SIFT-like path: detected regions used directly
+                # (imagerepresentation.cpp:1299-1302); compact to the
+                # front so DeviceStore.append's count-prefix holds
+                A_r = jnp.einsum("cab,cbd->cad", lin, A1)
+                half = jnp.ceil(K_SIGMA * s1 / 2.0)
+                tb = touches_border(float(w0), float(h0), xy_r1, A_r,
+                                    half, half)
+                m2 = ok1 & inside1 & ~tb
+                n2 = jnp.minimum(jnp.sum(m2.astype(jnp.int32)), C1)
+                idx2 = jnp.nonzero(m2, size=C1, fill_value=C1)[0]
+
+                def takeN(a):
+                    return jnp.take(a, idx2, axis=0, mode="fill",
+                                    fill_value=0)
+                ok2 = jnp.arange(C1) < n2
+                return (takeN(xy1), takeN(A1), takeN(s1), takeN(r1),
+                        jnp.minimum(takeN(vidx), V - 1), takeN(xy_r1),
+                        takeN(A_r), ok2, n2)
+            angles, pmask = find_peaks(
+                hist_o, M, dom_ori.threshold,
+                half_sift=(fam == "half" or dom_ori.half_sift_mode))
+            amask = pmask & ok_o[:, None]
+            if dom_ori.max_angles >= 0:
+                amask = amask & (jnp.arange(M) < dom_ori.max_angles)[None]
+            if dom_ori.add_up_right:
+                # keep one un-rotated copy of every region in the last
+                # angle slot (addUpRight, synth-detection.cpp:913-915)
+                angles = angles.at[:, M - 1].set(0.0)
+                amask = amask.at[:, M - 1].set(ok1)
+            Arot = rotate_shapes(A1, angles)        # (C1, M, 2, 2)
+            A_rf = jnp.einsum("cab,cmbd->cmad", lin, Arot)
+            half = jnp.ceil(K_SIGMA * s1 / 2.0)
+            tb = touches_border(
+                float(w0), float(h0),
+                jnp.broadcast_to(xy_r1[:, None], (C1, M, 2)), A_rf,
+                half[:, None], half[:, None])
+            m_f = amask & inside1[:, None] & ~tb    # (C1, M)
+            flat2 = m_f.reshape(-1)
+            n2 = jnp.sum(flat2.astype(jnp.int32))
+            idx2 = jnp.nonzero(flat2, size=C2,
+                               fill_value=flat2.shape[0])[0]
+            row = jnp.minimum(idx2 // M, C1 - 1)
+            ok2 = jnp.arange(C2) < jnp.minimum(n2, C2)
+
+            def takeA(a):   # (C1, M, ...) -> (C2, ...)
+                flat = a.reshape((C1 * M,) + a.shape[2:])
+                return jnp.take(flat, idx2, axis=0, mode="fill",
+                                fill_value=0)
+
+            return (xy1[row], takeA(Arot), s1[row], r1[row], vidx[row],
+                    xy_r1[row], takeA(A_rf),
+                    ok2, jnp.minimum(n2, C2))
+
         out = {}
-        fam_data = {}
+        base = SIFTDescriptorParams()  # raw histogram params
         for fam in families:
-            fam_data[fam] = one_family(
-                views, regs_xy, regs_A, regs_s, regs_mask, hinv, fam,
-                mips_v, mip_hw)
-
-        for fam in families:
-            xy_f, A_f, s_f, m_f, xy_r, A_r = fam_data[fam]
-            KM = xy_f.shape[1]
-            r_f = jnp.repeat(regs_resp[:, :, None], KM // K,
-                             2).reshape(V, KM)
             fam_specs = [sp for sp in specs if fam_key(sp) == fam]
+            (xyv, Av, sv, rv, vi, xy_r, A_r, m2, n2) = stage2(fam)
 
-            def patches_hist(mips, xyv, Av, sv, scale_coef=1.0):
-                from mods_tpu.descriptors.describe import \
-                    extract_descriptor_patches_mip
-                p = extract_descriptor_patches_mip(
-                    mips, mip_hw[0], xyv, Av, sv * scale_coef, pe_mr,
-                    pe_patch, photo_norm=pe_photo)
-                return p
-
-            base = SIFTDescriptorParams()  # raw histogram params
             need_hist = any(sp.kind == "sift" for sp in fam_specs)
             need_pix = any(sp.kind == "pixels" for sp in fam_specs)
             need_bin = any(sp.kind == "binary" for sp in fam_specs)
             need_patch = any(sp.kind == "patch" for sp in fam_specs)
 
-            def desc_one_view(view, mips, xyv, Av, sv):
-                res = {}
-                if need_bin:
-                    from mods_tpu.detectors.orb import brief_descriptors
-                    bits = brief_descriptors(view, xyv, Av, sv)
-                    for sp in fam_specs:
-                        if sp.kind == "binary":
-                            res[sp.name] = bits
-                if not (need_hist or need_pix or need_patch):
-                    return res
-                patches = patches_hist(mips, xyv, Av, sv)
+            def desc_patches(scale_coef=1.0):
+                t = image_to_patch_scale(sv * scale_coef, pe_mr, pe_patch)
+                As = Av * t[:, None, None]
+                lvl, sc = select_level(As, pe_patch, L)
+                raw = sample_affine_patches(
+                    src, vi * L + lvl, xyv / sc[:, None],
+                    As / sc[:, None, None], pe_patch, hw_flat)
+                return aa_filter_patches(raw, lvl, t, photo_norm=pe_photo)
+
+            res = {}
+            if need_bin:
+                from mods_tpu.detectors.orb import brief_from_patches
+                bscale = (sv * 5.1962 / 31.0)[:, None, None]
+                As_b = Av * bscale
+                lvl_b, sc_b = select_level(As_b, 31, L)
+                p31 = sample_affine_patches(
+                    src, vi * L + lvl_b, xyv / sc_b[:, None],
+                    As_b / sc_b[:, None, None], 31, hw_flat)
+                bits = brief_from_patches(p31)
+                for sp in fam_specs:
+                    if sp.kind == "binary":
+                        res[sp.name] = bits
+            if need_hist or need_pix or need_patch:
+                patches = desc_patches()
                 if need_patch:
                     from mods_tpu.descriptors.patch_descs import PATCH_FNS
                     for sp in fam_specs:
@@ -391,15 +462,14 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                             continue
                         h = hist
                         if sp.dsp_levels > 0:
-                            # DSP-SIFT: pool histograms over region scales
-                            # (imagerepresentation.cpp:1547-1598)
+                            # DSP-SIFT: pool histograms over region
+                            # scales (imagerepresentation.cpp:1547-1598)
                             coefs = np.linspace(0.5, 1.5, sp.dsp_levels)
                             for c in coefs:
                                 if abs(c - 1.0) < 1e-6:
                                     continue
-                                pc = patches_hist(mips, xyv, Av, sv,
-                                                  float(c))
-                                h = h + sift_histograms(pc, base)
+                                h = h + sift_histograms(
+                                    desc_patches(float(c)), base)
                         p = sp.sift
                         if p.half_sift:
                             ob = p.orientation_bins
@@ -415,30 +485,15 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                     nrm = jnp.sqrt(jnp.sum(flat * flat, -1,
                                            keepdims=True))
                     res["Pixels"] = flat / jnp.maximum(nrm, 1e-6)
-                return res
 
-            descs = jax.lax.map(
-                lambda t: desc_one_view(*t), (views, mips_v, xy_f, A_f, s_f))
-            # device-side compaction: valid rows to the front, so the
-            # host never sees the (V*K*M)-row padded intermediates —
-            # one (C, D) slab per descriptor flows to the feature store
-            C = caps.per_image
-            flat_mask = m_f.reshape(-1)
-            n_val = jnp.sum(flat_mask.astype(jnp.int32))
-            idx = jnp.nonzero(flat_mask, size=C,
-                              fill_value=flat_mask.shape[0])[0]
-
-            def take(arr):
-                flat = arr.reshape((-1,) + arr.shape[2:])
-                return jnp.take(flat, idx, axis=0, mode="fill",
-                                fill_value=0)
-
-            n_out = jnp.minimum(n_val, C)
+            zero = jnp.zeros_like(sv)
             for sp in fam_specs:
+                d = jnp.where(m2[:, None], res[sp.name], 0.0)
                 out[sp.name] = dict(
-                    desc=take(descs[sp.name]), xy=take(xy_r),
-                    A=take(A_r), s=take(s_f), response=take(r_f),
-                    n=n_out)
+                    desc=d, xy=jnp.where(m2[:, None], xy_r, 0.0),
+                    A=jnp.where(m2[:, None, None], A_r, 0.0),
+                    s=jnp.where(m2, sv, zero),
+                    response=jnp.where(m2, rv, zero), n=n2)
         return out
 
     return program
@@ -503,35 +558,35 @@ def _make_detect_fn(det: str, cfg: EngineConfig):
 
 @functools.lru_cache(maxsize=256)
 def _fused_group_program(V: int, h0: int, w0: int, hr: int, wr: int,
-                         hc: int, wc: int, sigma_x: float, sigma_y: float,
-                         sx: float, sy: float, do_blur: bool,
+                         hc: int, wc: int, do_blur: bool,
                          identity: bool, det: str, specs: tuple,
                          cfg: EngineConfig):
     """render -> detect -> orient -> describe -> compact, ONE XLA program
     per view group: the whole hot path of a rung stays on device with a
-    single dispatch (SURVEY.md §7.1 'each rung a jit-able program')."""
-    render = _make_render_fn(V, h0, w0, hr, wr, hc, wc, sigma_x, sigma_y,
-                             sx, sy, do_blur, identity)
+    single dispatch (SURVEY.md §7.1 'each rung a jit-able program').
+    Per-group geometry (rotations, sigmas, squash) is runtime input —
+    the program is keyed only by the BUCKETED (V, canvas) shape."""
+    render = _make_render_fn(V, h0, w0, hr, wr, hc, wc, do_blur, identity)
     detect = _make_detect_fn(det, cfg)
     pe = cfg.sift.patch_extraction
     desc = _make_desc_fn(V, hc, wc, h0, w0, cfg.caps.per_view, specs,
                          cfg.dom_ori, pe.mr_size, pe.patch_size,
                          pe.photo_norm, cfg.caps)
 
-    def program(img, rot_inv, valid_hw, regn, hinv):
-        views = render(img, rot_inv)
+    def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn,
+                hinv):
+        views = render(img, rot_inv, squash_inv, sig_x, sig_y)
         regs = detect(views, valid_hw, regn)
-        return desc(views, regs.xy, regs.A, regs.s, regs.response,
-                    regs.mask, hinv)
+        return desc(views, valid_hw, regs.xy, regs.A, regs.s,
+                    regs.response, regs.mask, hinv)
 
     return jax.jit(program)
 
 
 @functools.lru_cache(maxsize=128)
 def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
-                           hc: int, wc: int, sigma_x: float,
-                           sigma_y: float, sx: float, sy: float,
-                           do_blur: bool, identity: bool, K: int,
+                           hc: int, wc: int, do_blur: bool,
+                           identity: bool, K: int,
                            specs: tuple, cfg: EngineConfig):
     """render -> orient -> describe -> compact for HOST-stage detectors
     (MSER, ReadAffs): keypoints are found on the host (native MSER over
@@ -539,18 +594,17 @@ def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
     keypoint arrays cross to the device; the device re-renders the views
     itself for patch description.  Full images/views never cross the
     host<->device link in either direction."""
-    render = _make_render_fn(V, h0, w0, hr, wr, hc, wc, sigma_x, sigma_y,
-                             sx, sy, do_blur, identity)
+    render = _make_render_fn(V, h0, w0, hr, wr, hc, wc, do_blur, identity)
     pe = cfg.sift.patch_extraction
     desc = _make_desc_fn(V, hc, wc, h0, w0, K, specs, cfg.dom_ori,
                          pe.mr_size, pe.patch_size, pe.photo_norm,
                          cfg.caps)
 
-    def program(img, rot_inv, regs_xy, regs_A, regs_s, regs_resp,
-                regs_mask, hinv):
-        views = render(img, rot_inv)
-        return desc(views, regs_xy, regs_A, regs_s, regs_resp, regs_mask,
-                    hinv)
+    def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw,
+                regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv):
+        views = render(img, rot_inv, squash_inv, sig_x, sig_y)
+        return desc(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
+                    regs_mask, hinv)
 
     return jax.jit(program)
 
@@ -825,7 +879,12 @@ class TwoViewMatcher:
         # min_matches — the same answer, bought with (bounded) extra
         # device work instead of per-rung host round trips.  On a
         # tunneled/remote device a single host sync costs hundreds of
-        # milliseconds, so "async" is the production serving mode.
+        # milliseconds, so sync stalls the pipeline per rung.
+        # "pipelined" (the production serving mode) enqueues rungs
+        # without ever blocking, but polls completed rungs' counts with
+        # Array.is_ready() and stops enqueuing as soon as a finished
+        # rung crossed min_matches — sync's early exit without its
+        # stalls, async's pipelining without its wasted tail rungs.
         self.stop_mode = stop_mode
 
     def _sync(self, x):
@@ -840,9 +899,10 @@ class TwoViewMatcher:
 
     # -- feature extraction ------------------------------------------------
 
-    def _region_budgets(self, plans, det):
+    def _region_budgets(self, plans, det, vb: int | None = None):
         """Per-view region budget scaling
-        (scale-space-detector.cpp:50-51)."""
+        (scale-space-detector.cpp:50-51).  Padded to ``vb`` rows for
+        bucketed view batches."""
         cfg = self.cfg
         regn = []
         base_rn = cfg.pyramid_for(det).reg_number \
@@ -853,15 +913,17 @@ class TwoViewMatcher:
             if base_rn > 0 and (t > 2.0 or z < 0.5):
                 rn = int(np.floor(z * base_rn / t))
             regn.append(rn if rn > 0 else 10**9)
+        if vb is not None:
+            regn += [10**9] * (vb - len(regn))
         return jnp.asarray(regn, jnp.int32)
 
     def _detect_group(self, views, valid_hw, plans, it, log, img_idx=0):
         """Dispatch detection for one rendered view group."""
         cfg = self.cfg
-        V = len(plans)
+        V = int(views.shape[0])
         hc, wc = views.shape[-2:]
         det = it.detector
-        regn = self._region_budgets(plans, det)
+        regn = self._region_budgets(plans, det, vb=V)
 
         if det in ("HessianAffine", "DoG", "HarrisAffine"):
             prog = _ss_detect_program(V, hc, wc, cfg.pyramid_for(det),
@@ -988,15 +1050,20 @@ class TwoViewMatcher:
         for group in synthesis.group_views(plans):
             p0 = group[0]
             V = len(group)
+            # bucketed shapes: compiled programs are shared across groups
+            # (and rungs) whose snapped (V, canvas) agree; padded view
+            # slots carry valid_hw == 0 and produce nothing
+            Vb = synthesis.snap_views(V)
             if p0.identity:
                 hr = wr = 0
-                hc, wc = round_up(h, 128), round_up(w, 128)
-                rot_inv = np.zeros((V, 2, 3), np.float32)
+                hc = synthesis.snap_dim(h)
+                wc = synthesis.snap_dim(w)
+                rot_inv = np.zeros((Vb, 2, 3), np.float32)
             else:
-                hr = max(p.h_rot for p in group)
-                wr = max(p.w_rot for p in group)
-                hc = round_up(max(p.h_new for p in group), 128)
-                wc = round_up(max(p.w_new for p in group), 128)
+                hr = synthesis.snap_dim(max(p.h_rot for p in group))
+                wr = synthesis.snap_dim(max(p.w_rot for p in group))
+                hc = synthesis.snap_dim(max(p.h_new for p in group))
+                wc = synthesis.snap_dim(max(p.w_new for p in group))
                 rot_inv = []
                 for p in group:
                     a, b, tx, c, d, ty = p.rot
@@ -1005,12 +1072,21 @@ class TwoViewMatcher:
                     ic, id_ = -c / det, a / det
                     rot_inv.append([[ia, ib, -(ia * tx + ib * ty)],
                                     [ic, id_, -(ic * tx + id_ * ty)]])
+                rot_inv += [rot_inv[0]] * (Vb - V)
                 rot_inv = np.asarray(rot_inv, np.float32)
-            valid_hw = jnp.asarray(
-                [[p.h_new, p.w_new] for p in group], np.int32)
+            sx, sy = p0.tilt_scale
+            squash_inv = np.asarray(
+                [[1.0 / sx, 0.0, 0.0], [0.0, 1.0 / sy, 0.0]], np.float32)
+            sig_x = np.float32(p0.sigma_x)
+            sig_y = np.float32(p0.sigma_y)
+            valid_np = np.zeros((Vb, 2), np.int32)
+            valid_np[:V] = [[p.h_new, p.w_new] for p in group]
+            valid_hw = jnp.asarray(valid_np)
             hinv = np.asarray(
                 [np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
                                )[:2, :] for p in group], np.float32)
+            hinv = np.concatenate(
+                [hinv, np.repeat(hinv[:1], Vb - V, 0)]) if Vb > V else hinv
 
             # Host-stage detectors (host-backend MSER, ReadAffs):
             # keypoints computed on the host over host-rendered views;
@@ -1018,15 +1094,20 @@ class TwoViewMatcher:
             # so full images never cross the host<->device link.
             if not self._device_det(it.detector):
                 regs = self._host_stage_regions(
-                    it.detector, img, group, rot_inv, hr, wr, hc, wc,
+                    it.detector, img, group, rot_inv[:V], hr, wr, hc, wc,
                     log, img_idx)
+                if Vb > V:      # pad view slots with empty region rows
+                    regs = {k: np.concatenate(
+                        [a, np.zeros((Vb - V,) + a.shape[1:], a.dtype)])
+                        for k, a in regs.items()}
                 prog = _fused_hostdet_program(
-                    V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
-                    p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, cfg.caps.per_view,
                     tuple(it.descriptors), cfg)
                 with log.phase("DescTime"):
                     out = prog(img_j, jnp.asarray(rot_inv),
+                               jnp.asarray(squash_inv), sig_x, sig_y,
+                               valid_hw,
                                jnp.asarray(regs["xy"]),
                                jnp.asarray(regs["A"]),
                                jnp.asarray(regs["s"]),
@@ -1039,32 +1120,36 @@ class TwoViewMatcher:
             # reference's per-phase wall-clock attribution
             elif not self.sync_timing:
                 prog = _fused_group_program(
-                    V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
-                    p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, it.detector, tuple(it.descriptors), cfg)
                 with log.phase("DetectTime"):
-                    out = prog(img_j, jnp.asarray(rot_inv), valid_hw,
-                               self._region_budgets(group, it.detector),
+                    out = prog(img_j, jnp.asarray(rot_inv),
+                               jnp.asarray(squash_inv), sig_x, sig_y,
+                               valid_hw,
+                               self._region_budgets(group, it.detector,
+                                                    Vb),
                                jnp.asarray(hinv))
             else:
                 render = _render_program(
-                    V, h, w, hr, wr, hc, wc, p0.sigma_x, p0.sigma_y,
-                    p0.tilt_scale[0], p0.tilt_scale[1], p0.view.do_blur,
+                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity)
                 with log.phase("SynthTime"):
-                    views_arr = render(img_j, jnp.asarray(rot_inv))
+                    views_arr = render(img_j, jnp.asarray(rot_inv),
+                                       jnp.asarray(squash_inv), sig_x,
+                                       sig_y)
                     self._sync(views_arr)
 
                 regs = self._detect_group(views_arr, valid_hw, group, it,
                                           log, img_idx)
 
                 dp = _desc_program(
-                    V, hc, wc, h, w, regs.capacity,
+                    Vb, hc, wc, h, w, regs.capacity,
                     tuple(it.descriptors), cfg.dom_ori, pe.mr_size,
                     pe.patch_size, pe.photo_norm, cfg.caps)
                 with log.phase("DescTime"):
-                    out = dp(views_arr, regs.xy, regs.A, regs.s,
-                             regs.response, regs.mask, jnp.asarray(hinv))
+                    out = dp(views_arr, valid_hw, regs.xy, regs.A,
+                             regs.s, regs.response, regs.mask,
+                             jnp.asarray(hinv))
                     self._sync(out)
             for name, d in out.items():
                 key = (it.detector, name)
@@ -1231,6 +1316,7 @@ class TwoViewMatcher:
         rungs = as_rungs(self.ladder)[:cfg.max_steps]
         outs: list = []               # (step_1based, out) per rung
         stop_counts: list = []        # host ints, sync mode only
+        pending = 0                   # first unread rung, pipelined mode
         for step, rung in enumerate(rungs):
             steps += 1
             for it in rung.dets:
@@ -1258,6 +1344,21 @@ class TwoViewMatcher:
                           if "ransac_matches" in out else n_inl)
                 stop_counts.append((n_inl, n_stop))
                 if n_stop >= cfg.min_matches:
+                    break
+            elif self.stop_mode == "pipelined":
+                # non-blocking early stop: consume whichever rung counts
+                # the device has already delivered
+                stop = False
+                while pending < len(outs):
+                    o = outs[pending][1]
+                    cnt = o.get("ransac_matches", o["n_inl"])
+                    if not cnt.is_ready():
+                        break
+                    if int(cnt) >= cfg.min_matches:
+                        stop = True
+                        break
+                    pending += 1
+                if stop:
                     break
         if not outs:
             log.finalize()
@@ -1293,8 +1394,10 @@ class TwoViewMatcher:
                           ransac_true=int(out["ransac_true"]))
         # bulk reads only happen once, after the ladder stops, and only
         # of device-compacted buffers
+        # out_cap == tcap: n_inl can reach the tentative capacity, and
+        # xy1/xy2 must always have n_matches rows
         tcap = int(out["inlier_mask"].shape[0])
-        cprog = _compact_matches_program(tcap, min(tcap, 4096))
+        cprog = _compact_matches_program(tcap, tcap)
         cxy1, cxy2 = cprog(out["xy1_all"], out["xy2_all"],
                            out["inlier_mask"])
         return MatchResult(

@@ -163,6 +163,30 @@ def plan_view(v: ViewParams, w: int, h: int) -> ViewPlan:
                     identity=False)
 
 
+# Shape buckets: compiled group programs are keyed by (V, canvas) only —
+# runtime inputs (rot_inv/squash/sigmas/valid_hw) carry the per-group
+# geometry — so snapping dims/V to a coarse ladder collapses the CVIU
+# ladder's ~27 distinct program shapes to ~10 and bounds padding waste
+# at ~30% (the remote TPU compiler is the scarce resource, not FLOPs).
+SNAP_DIMS = (128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536,
+             1792, 2048, 2560, 3072, 3584, 4096)
+SNAP_VIEWS = (1, 2, 4, 6, 8, 12, 16, 24, 32)
+
+
+def snap_dim(n: int) -> int:
+    for s in SNAP_DIMS:
+        if s >= n:
+            return s
+    return round_up(n, 512)
+
+
+def snap_views(v: int) -> int:
+    for s in SNAP_VIEWS:
+        if s >= v:
+            return s
+    return round_up(v, 8)
+
+
 def group_views(plans: list[ViewPlan]) -> list[list[ViewPlan]]:
     """Group by (tilt, zoom, vertical, do_blur) — same sigmas and squash,
     batchable rotations."""

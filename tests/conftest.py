@@ -21,9 +21,13 @@ jax.config.update("jax_platforms",
 
 # persistent compilation cache: repeated suite runs skip recompiles
 # (the cache dir is gitignored)
+import platform  # noqa: E402
+
 from mods_tpu.runtime import setup_cache  # noqa: E402
 
-setup_cache("/root/repo/.jax_cache_tests")
+# keyed by machine: CPU AOT cache entries embed host ISA features, and a
+# cache written on another machine would SIGILL here
+setup_cache(f"/root/repo/.jax_cache_tests_{platform.machine()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

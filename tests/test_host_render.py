@@ -34,9 +34,14 @@ def _device_render(img, group, hc, wc):
         hr = max(p.h_rot for p in group)
         wr = max(p.w_rot for p in group)
     prog = _render_program(len(group), h, w, hr, wr, hc, wc,
-                           p0.sigma_x, p0.sigma_y, p0.tilt_scale[0],
-                           p0.tilt_scale[1], p0.view.do_blur, p0.identity)
-    return np.asarray(prog(jnp.asarray(img), jnp.asarray(_rot_inv(group))))
+                           p0.view.do_blur, p0.identity)
+    sx, sy = p0.tilt_scale
+    squash_inv = np.asarray([[1.0 / sx, 0.0, 0.0],
+                             [0.0, 1.0 / sy, 0.0]], np.float32)
+    return np.asarray(prog(jnp.asarray(img), jnp.asarray(_rot_inv(group)),
+                           jnp.asarray(squash_inv),
+                           np.float32(p0.sigma_x),
+                           np.float32(p0.sigma_y)))
 
 
 def _host_render(img, group, hc, wc):
