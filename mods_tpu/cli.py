@@ -44,6 +44,7 @@ def _build_engine(config_path: str | None, iters_path: str | None,
             sift=ini_mod.parse_sift_desc_config(ini),
             ransac=ini_mod.parse_ransac_config(ini),
             match=ini_mod.parse_matching_config(ini),
+            **ini_mod.parse_descriptor_sections(ini),
             **flags)
     if iters_path:
         steps, min_matches, ladder = ini_mod.parse_iters_file(iters_path)
@@ -207,7 +208,12 @@ def cmd_match_multi(argv: list[str]) -> int:
     the ``pair`` mesh axis with the GetAtLeastOneImageMatch early stop
     (mods_multi.cpp:229-260).
 
-    args: query list [config] [iters] [log_prefix] [out_prefix]
+    args: query list [config] [iters] [log_prefix] [out_prefix] [manifest]
+
+    ``manifest``: optional JSON checkpoint path (SURVEY.md §5.3) — a
+    rerun with the same manifest skips already-done gallery images;
+    transient device errors retry, then mark the image failed without
+    aborting the batch.
     """
     import os
 
@@ -217,41 +223,86 @@ def cmd_match_multi(argv: list[str]) -> int:
                                 argv[3] if len(argv) > 3 else None)
     log_prefix = argv[4] if len(argv) > 4 else ""
     out_prefix = argv[5] if len(argv) > 5 else ""
+    manifest_path = argv[6] if len(argv) > 6 else ""
     with open(list_file) as f:
         paths = [ln.strip() for ln in f if ln.strip()]
     qimg = _load_image(query)
-    imgs = [_load_image(p) for p in paths]
 
     from mods_tpu.config import as_rungs
+    from mods_tpu.parallel.manifest import RunManifest, with_retries
     from mods_tpu.parallel.multi import MultiMatcher
     from mods_tpu.parallel.mesh import make_mesh
-    from mods_tpu.pipeline import DEVICE_DETECTORS, TwoViewMatcher
+    from mods_tpu.pipeline import TwoViewMatcher
     import jax
 
+    manifest = None
+    todo = paths
+    if manifest_path and manifest_path not in ("0", "none"):
+        manifest = RunManifest.load(manifest_path, query)
+        todo = manifest.pending(paths)
+        if len(todo) < len(paths):
+            print(f"manifest: {len(paths) - len(todo)}/{len(paths)} "
+                  f"gallery images already done, resuming")
+    imgs = {p: _load_image(p) for p in todo}
+
+    results: dict = {}          # path -> (n, tents, steps, xy1, xy2)
+    total_time = 0.0
     dets = {d.detector for r in as_rungs(ladder or []) for d in r.dets}
-    device_only = dets.issubset(set(DEVICE_DETECTORS)) if dets else True
-    if device_only:
+    # the pair-sharded MultiMatcher handles device detectors fully fused
+    # AND host-stage MSER (threaded native detect + batched describe);
+    # only ReadAffs (per-image keypoint files) needs the serial loop
+    batched_ok = "ReadAffs" not in dets
+    if batched_ok and todo:
         mesh = make_mesh() if jax.device_count() > 1 else None
         m = MultiMatcher(ladder, cfg, mesh=mesh)
-        res = m.match(qimg, imgs)
-        counts = res.counts
-        tents = res.n_tentatives
-        steps = [res.steps_used] * len(paths)
-        pairs = list(zip(res.xy1, res.xy2))
+        res = with_retries(lambda: m.match(qimg, [imgs[p] for p in todo]))
+        for i, p in enumerate(todo):
+            results[p] = (int(res.counts[i]), int(res.n_tentatives[i]),
+                          int(res.steps_used), res.xy1[i], res.xy2[i])
         total_time = res.log.times["TotalTime"]
-    else:
+    elif todo:
         # host-stage detectors (MSER/ReadAffs): serial gallery loop,
-        # exactly the reference's structure (mods_multi.cpp:250+)
+        # exactly the reference's structure (mods_multi.cpp:250+);
+        # checkpoint after every image
         matcher = TwoViewMatcher(ladder, cfg)
-        counts, tents, steps, pairs = [], [], [], []
-        total_time = 0.0
-        for img in imgs:
-            r = matcher.match(qimg, img)
-            counts.append(r.n_matches)
-            tents.append(r.n_tentatives)
-            steps.append(r.steps_used)
-            pairs.append((r.xy1, r.xy2))
+        for p in todo:
+            try:
+                r = with_retries(lambda: matcher.match(qimg, imgs[p]))
+            except Exception as e:          # mark failed, keep going
+                if manifest is None:
+                    raise
+                manifest.record(p, 0, 0, 0, error=str(e)[:200])
+                manifest.save()
+                continue
+            results[p] = (r.n_matches, r.n_tentatives, r.steps_used,
+                          r.xy1, r.xy2)
             total_time += r.log.times["TotalTime"]
+            if manifest is not None:
+                manifest.record(p, r.n_matches, r.n_tentatives,
+                                r.steps_used)
+                manifest.save()
+    if manifest is not None:
+        for p in todo:
+            if p in results:
+                n, t, s, _, _ = results[p]
+                manifest.record(p, n, t, s)
+        manifest.save()
+
+    counts, tents, steps, pairs = [], [], [], []
+    z = __import__("numpy").zeros((0, 2))
+    for p in paths:
+        if p in results:
+            n, t, s, xy1, xy2 = results[p]
+        elif manifest is not None and manifest.result(p) is not None:
+            d = manifest.result(p)
+            n, t, s = d["n_matches"], d["n_tentatives"], d["steps"]
+            xy1 = xy2 = z       # match points not persisted for resumes
+        else:
+            n, t, s, xy1, xy2 = 0, 0, 0, z, z
+        counts.append(n)
+        tents.append(t)
+        steps.append(s)
+        pairs.append((xy1, xy2))
 
     # per-gallery-image artifacts (mods_multi.cpp:386-433):
     # <log_prefix>-<img2 basename>.log + optional match drawings
@@ -266,11 +317,11 @@ def cmd_match_multi(argv: list[str]) -> int:
                    total_time=total_time,
                    ver_type="LORANSACH").write(
                 f"{log_prefix}-{prefix}.log")
-        if out_prefix and out_prefix not in ("0", "none"):
+        if out_prefix and out_prefix not in ("0", "none") and p in imgs:
             from mods_tpu import viz
             xy1, xy2 = pairs[i]
             viz.save_image(f"{out_prefix}{prefix}-1.png",
-                           viz.draw_matches(qimg, imgs[i], xy1, xy2))
+                           viz.draw_matches(qimg, imgs[p], xy1, xy2))
     matched = sum(1 for c in counts if int(c) >= cfg.min_matches)
     print(f"{matched}/{len(paths)} gallery images matched "
           f"(minMatches={cfg.min_matches})")

@@ -112,6 +112,129 @@ class SIFTDescriptorParams:
 
 
 @dataclass(frozen=True)
+class OrbParams:
+    """reference ORBParams (detectors_parameters.hpp:203-233, read by
+    GetORBPars io_mods.cpp:325-335)."""
+    nfeatures: int = 500
+    scale_factor: float = 1.2
+    nlevels: int = 8
+    edge_threshold: int = 31
+    first_level: int = 0
+    wta_k: int = 2
+    do_nms: int = 1
+    fast_threshold: float = 20.0    # cv::ORB internal default
+
+
+@dataclass(frozen=True)
+class FastParams:
+    """reference FASTParams (detectors_parameters.hpp:144-157)."""
+    threshold: float = 10.0
+    nonmax_suppression: bool = True
+    type: int = 0
+
+
+@dataclass(frozen=True)
+class StarParams:
+    """reference STARParams (detectors_parameters.hpp:158-175)."""
+    max_size: int = 45
+    response_threshold: int = 30
+    line_threshold_projected: int = 10
+    line_threshold_binarized: int = 8
+    suppress_nonmax_size: int = 5
+
+
+@dataclass(frozen=True)
+class SurfDetParams:
+    """reference SURFParams (detectors_parameters.hpp:120-142)."""
+    octaves: int = 4
+    intervals: int = 4
+    init_sample: int = 2
+    thresh: float = 0.0004
+
+
+@dataclass(frozen=True)
+class BriskDetParams:
+    """reference BRISKParams (detectors_parameters.hpp:176-196)."""
+    thresh: int = 30
+    octaves: int = 3
+    pattern_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class FreakParams:
+    """reference FREAKParams (descriptors/freakdescriptor.hpp)."""
+    orientation_normalized: bool = False
+    scale_normalized: bool = False
+    pattern_scale: float = 22.0
+    n_octaves: int = 4
+
+
+@dataclass(frozen=True)
+class DaisyParams:
+    """reference DAISYParams (descriptors/daisydescriptor.hpp):
+    rad/radq/thq/histq in daisy's naming = radius / n rings / ring
+    segments / orientation histogram bins."""
+    rad: int = 15
+    radq: int = 3
+    thq: int = 8
+    histq: int = 8
+    nrm_type: str = "partial"
+
+    @property
+    def dim(self) -> int:
+        return (1 + self.radq * self.thq) * self.histq
+
+
+@dataclass(frozen=True)
+class LiopParams:
+    """reference LIOPDescriptorParams (matching/liopdesc.hpp:20-33)."""
+    neighbours: int = 4
+    bins: int = 6
+    radius: float = 6.0
+    threshold: float = 5.0
+
+    @property
+    def dim(self) -> int:
+        return self.bins * math.factorial(self.neighbours)
+
+
+@dataclass(frozen=True)
+class SsimParams:
+    """reference SSIMParams (descriptors/ssimdescriptor.hpp)."""
+    window_size: int = 5
+    desc_rad: int = 40
+    nrad: int = 4
+    nang: int = 10
+    cor_size: int = 20
+    var_noise: float = 300000.0
+    saliency_thresh: float = 0.7
+    homogeneity_thresh: float = 0.7
+    snn_thresh: float = 0.85
+
+    @property
+    def dim(self) -> int:
+        return self.nrad * self.nang
+
+
+@dataclass(frozen=True)
+class MroghParams:
+    """reference MROGHParams (descriptors/mroghdesc.hpp)."""
+    n_dir: int = 8
+    n_order: int = 6
+    n_multi_region: int = 3
+
+    @property
+    def dim(self) -> int:
+        return self.n_dir * self.n_order * self.n_multi_region
+
+
+@dataclass(frozen=True)
+class PixelsParams:
+    """reference PIXELSDescriptorParams (descriptors/pixelsdesc.hpp)."""
+    norm_type: str = "L2"
+
+
+@dataclass(frozen=True)
 class DetectorParams:
     """One scale-space detector slot = pyramid + affine shape params."""
     pyramid: PyramidParams = field(default_factory=PyramidParams)
@@ -196,10 +319,15 @@ class RansacParams:
 @dataclass(frozen=True)
 class OrsaParams:
     """A-contrario verification (reference orsa.cpp; acceptance rule
-    matching.cpp:1035-1040)."""
+    matching.cpp:1035-1040).  ``rounds`` bounds the scan for jit;
+    adaptive termination (the reference's nsamples update, orsa.cpp:371+)
+    skips remaining rounds once log10-NFA has improved by less than
+    ``min_improvement`` for ``stall_rounds`` consecutive rounds."""
     max_log_nfa: float = -2.0
     batch_hypotheses: int = 512
     rounds: int = 8
+    stall_rounds: int = 2
+    min_improvement: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -378,13 +378,15 @@ def mrogh_descriptor(patches: jax.Array, n_groups: int = 6,
 # pattern so matching behaves identically.
 
 @functools.lru_cache(maxsize=2)
-def _freak_pattern(P: int):
+def _freak_pattern(P: int, scale: float = 1.0):
     """43 receptive fields: center + 6 rings of 7, radius and field size
-    shrinking toward the center (retinal layout)."""
+    shrinking toward the center (retinal layout).  ``scale`` stretches
+    the ring radii (the reference's patternScale/22, GetFREAKPars)."""
     pts = [(0.0, 0.0, 0.8)]
     n_rings = 6
     for ri in range(n_rings):
         rad = (P / 2.0 - 2.0) * (0.9 ** ri) * (ri + 2) / (n_rings + 1)
+        rad = min(rad * scale, P / 2.0 - 1.0)
         sig = max(0.6, rad * 0.35)
         for k in range(7):
             a = 2 * np.pi * k / 7 + (np.pi / 7) * (ri % 2)
@@ -399,13 +401,15 @@ def _freak_pattern(P: int):
 
 
 @functools.lru_cache(maxsize=2)
-def _brisk_pattern(P: int):
+def _brisk_pattern(P: int, scale: float = 1.0):
     """BRISK concentric pattern: center + rings of (10, 14, 15, 20)
-    points; short-distance pairs -> 512 bits."""
+    points; short-distance pairs -> 512 bits.  ``scale`` is the
+    reference's patternScale (GetBRISKPars)."""
     pts = [(0.0, 0.0, 0.8)]
     ring_n = (10, 14, 15, 20)
     for ri, n_k in enumerate(ring_n):
         rad = (P / 2.0 - 2.0) * (ri + 1) / (len(ring_n) + 0.5)
+        rad = min(rad * scale, P / 2.0 - 1.0)
         sig = max(0.6, rad * 0.25)
         for k in range(n_k):
             a = 2 * np.pi * k / n_k
@@ -441,12 +445,16 @@ def _pattern_bits(patches: jax.Array, pattern) -> jax.Array:
             < means[:, jnp.asarray(pj)]).astype(jnp.float32)
 
 
-def freak_descriptor(patches: jax.Array) -> jax.Array:
-    return _pattern_bits(patches, _freak_pattern(patches.shape[-1]))
+def freak_descriptor(patches: jax.Array,
+                     pattern_scale: float = 22.0) -> jax.Array:
+    return _pattern_bits(patches, _freak_pattern(
+        patches.shape[-1], pattern_scale / 22.0))
 
 
-def brisk_descriptor(patches: jax.Array) -> jax.Array:
-    return _pattern_bits(patches, _brisk_pattern(patches.shape[-1]))
+def brisk_descriptor(patches: jax.Array,
+                     pattern_scale: float = 1.0) -> jax.Array:
+    return _pattern_bits(patches, _brisk_pattern(
+        patches.shape[-1], pattern_scale))
 
 
 PATCH_FNS = {

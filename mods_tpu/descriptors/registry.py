@@ -17,11 +17,15 @@ from mods_tpu.config import PatchExtractionParams, SIFTDescriptorParams
 @dataclass(frozen=True)
 class DescriptorSpec:
     name: str
-    kind: str                  # "sift" | "pixels" | "binary"
+    kind: str                  # "sift" | "pixels" | "binary" | "patch"
     sift: SIFTDescriptorParams | None = None
     half_sift_like: bool = False   # uses half-SIFT orientation folding
     dim: int = 128
     dsp_levels: int = 0        # >0 = domain-size pooling (DSP-SIFT)
+    # extra kwargs for the patch-functor implementations, as a hashable
+    # (key, value) tuple — filled by spec_for() from the engine config's
+    # per-descriptor INI sections (io_mods.cpp:104-652)
+    params: tuple = ()
 
 
 def sift_spec(name: str, **kw) -> DescriptorSpec:
@@ -59,7 +63,56 @@ REGISTRY: dict[str, DescriptorSpec] = {
 
 
 def get_spec(name: str) -> DescriptorSpec:
+    if isinstance(name, DescriptorSpec):
+        return name
     if name not in REGISTRY:
         raise KeyError(f"unknown descriptor {name!r}; known: "
                        f"{sorted(REGISTRY)}")
     return REGISTRY[name]
+
+
+def spec_for(name: str, cfg=None) -> DescriptorSpec:
+    """Engine-config-aware spec: applies the per-descriptor INI sections
+    (GetDAISYPars/GetLIOPPars/GetSSIMPars/GetMROGHPars/GetFREAKPars/
+    GetBRISKPars/GetPixelPars, io_mods.cpp:104-652) to the descriptor's
+    implementation kwargs and output dimension."""
+    import dataclasses
+    base = get_spec(name)
+    if cfg is None:
+        return base
+    if name == "DAISY":
+        d = cfg.daisy
+        return dataclasses.replace(
+            base, dim=d.dim,
+            params=(("n_rings", d.radq), ("n_segs", d.thq),
+                    ("n_ori", d.histq)))
+    if name == "LIOP":
+        p = cfg.liop
+        return dataclasses.replace(
+            base, dim=p.dim,
+            params=(("radius", p.radius), ("n_neigh", p.neighbours),
+                    ("n_bins", p.bins)))
+    if name == "SSIM":
+        s = cfg.ssim
+        return dataclasses.replace(
+            base, dim=s.dim,
+            params=(("inner", s.window_size), ("n_rad", s.nrad),
+                    ("n_ang", s.nang)))
+    if name == "MROGH":
+        m = cfg.mrogh
+        supports = tuple(max(41 - 10 * i, 11)
+                         for i in range(m.n_multi_region))
+        return dataclasses.replace(
+            base, dim=m.dim,
+            params=(("n_groups", m.n_order), ("n_ori", m.n_dir),
+                    ("supports", supports)))
+    if name == "FREAK":
+        return dataclasses.replace(
+            base, params=(("pattern_scale", cfg.freak.pattern_scale),))
+    if name == "BRISK":
+        return dataclasses.replace(
+            base, params=(("pattern_scale", cfg.brisk.pattern_scale),))
+    if name == "Pixels":
+        return dataclasses.replace(
+            base, params=(("norm_type", cfg.pixels.norm_type),))
+    return base

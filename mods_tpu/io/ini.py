@@ -170,6 +170,94 @@ def parse_mser_config(ini: dict):
     )
 
 
+def _sec_reader(ini: dict, section: str):
+    sec = ini.get(section, {})
+
+    def g(key, default):
+        return float(_strip_value(sec.get(key, str(default))))
+
+    def gb(key, default):
+        v = _strip_value(sec.get(key, str(default))).lower()
+        return v in ("1", "true", "yes")
+
+    def gs(key, default):
+        return _strip_value(sec.get(key, default))
+    return g, gb, gs
+
+
+def parse_descriptor_sections(ini: dict) -> dict:
+    """The remaining per-detector/per-descriptor Get*Pars sections
+    (io_mods.cpp:104-652) -> EngineConfig keyword overrides."""
+    from mods_tpu.config import (BriskDetParams, DaisyParams, FastParams,
+                                 FreakParams, LiopParams, MroghParams,
+                                 OrbParams, PixelsParams, SsimParams,
+                                 StarParams, SurfDetParams)
+    out = {}
+    g, gb, gs = _sec_reader(ini, "ORB")
+    out["orb"] = OrbParams(
+        nfeatures=int(g("nfeatures", 500)),
+        scale_factor=g("scaleFactor", 1.2),
+        nlevels=int(g("nlevels", 8)),
+        edge_threshold=int(g("edgeThreshold", 31)),
+        first_level=int(g("firstLevel", 0)),
+        wta_k=int(g("WTA_K", 2)),
+        do_nms=int(g("doNMS", 1)))
+    g, gb, gs = _sec_reader(ini, "FAST")
+    out["fast"] = FastParams(
+        threshold=g("threshold", 10.0),
+        nonmax_suppression=gb("nonmaxSuppression", True),
+        type=int(g("type", 0)))
+    g, gb, gs = _sec_reader(ini, "STAR")
+    out["star"] = StarParams(
+        max_size=int(g("maxSize", 45)),
+        response_threshold=int(g("responseThreshold", 30)),
+        line_threshold_projected=int(g("lineThresholdProjected", 10)),
+        line_threshold_binarized=int(g("lineThresholdBinarized", 8)),
+        suppress_nonmax_size=int(g("suppressNonmaxSize", 5)))
+    g, gb, gs = _sec_reader(ini, "SURF")
+    out["surf_det"] = SurfDetParams(
+        octaves=int(g("octaves", 4)),
+        intervals=int(g("intervals", 4)),
+        init_sample=int(g("init_sample", 2)),
+        thresh=g("thres", 0.0004))
+    g, gb, gs = _sec_reader(ini, "BRISK")
+    out["brisk"] = BriskDetParams(
+        thresh=int(g("thresh", 30)),
+        octaves=int(g("octaves", 3)),
+        pattern_scale=g("patternScale", 1.0))
+    g, gb, gs = _sec_reader(ini, "FREAK")
+    out["freak"] = FreakParams(
+        orientation_normalized=gb("orientationNormalized", False),
+        scale_normalized=gb("scaleNormalized", False),
+        pattern_scale=g("patternScale", 22.0),
+        n_octaves=int(g("nOctaves", 4)))
+    g, gb, gs = _sec_reader(ini, "DAISY")
+    out["daisy"] = DaisyParams(
+        rad=int(g("rad", 15)), radq=int(g("radq", 3)),
+        thq=int(g("thq", 8)), histq=int(g("histq", 8)))
+    g, gb, gs = _sec_reader(ini, "LIOP")
+    out["liop"] = LiopParams(
+        neighbours=int(g("neighbours", 4)), bins=int(g("bins", 6)),
+        radius=g("radius", 6.0), threshold=g("threshold", 5.0))
+    g, gb, gs = _sec_reader(ini, "SSIM")
+    out["ssim"] = SsimParams(
+        window_size=int(g("window_size", 5)),
+        desc_rad=int(g("desc_rad", 40)),
+        nrad=int(g("nrad", 4)), nang=int(g("nang", 10)),
+        cor_size=int(g("cor_size", 20)),
+        var_noise=g("var_noise", 300000.0),
+        saliency_thresh=g("saliency_thresh", 0.7),
+        homogeneity_thresh=g("homogeneity_thresh", 0.7),
+        snn_thresh=g("snn_thresh", 0.85))
+    g, gb, gs = _sec_reader(ini, "MROGHDescriptor")
+    out["mrogh"] = MroghParams(
+        n_dir=int(g("nDir", 8)), n_order=int(g("nOrder", 6)),
+        n_multi_region=int(g("nMultiRegion", 3)))
+    g, gb, gs = _sec_reader(ini, "PixelDescriptor")
+    out["pixels"] = PixelsParams(norm_type=gs("normType", "L2"))
+    return out
+
+
 def parse_dom_ori_config(ini: dict):
     """[DominantOrientation] section (io_mods.cpp GetDomOriPars)."""
     from mods_tpu.config import (DominantOrientationParams,

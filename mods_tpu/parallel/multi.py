@@ -22,10 +22,11 @@ import numpy as np
 
 from mods_tpu import synthesis
 from mods_tpu.config import as_rungs
-from mods_tpu.descriptors.registry import get_spec
+from mods_tpu.descriptors.registry import get_spec, spec_for
 from mods_tpu.ops.image import round_up
 from mods_tpu.pipeline import (DeviceStore, EngineConfig,
                                TwoViewMatcher, _fused_group_program,
+                               _fused_hostdet_program,
                                _match_pair_program, _verify_bank_program)
 from mods_tpu.timing import TimeLog
 
@@ -42,6 +43,22 @@ def _batched_group_program(P: int, V: int, h0: int, w0: int, hr: int,
     # axes: (img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn, hinv)
     return jax.jit(jax.vmap(
         base, in_axes=(0, 0, None, None, None, 0, None, 0)))
+
+
+@functools.lru_cache(maxsize=128)
+def _batched_hostdet_program(P: int, V: int, h0: int, w0: int, hr: int,
+                             wr: int, hc: int, wc: int, do_blur: bool,
+                             identity: bool, K: int, specs: tuple,
+                             cfg: EngineConfig):
+    """The host-stage (MSER/ReadAffs) describe program vmapped over the
+    gallery axis: per-image keypoints come from the native host
+    detector; the device re-renders views and describes, batched."""
+    base = _fused_hostdet_program.__wrapped__(
+        V, h0, w0, hr, wr, hc, wc, do_blur, identity, K, specs, cfg)
+    # axes: (img, rot_inv, squash_inv, sig_x, sig_y, valid_hw,
+    #        regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv)
+    return jax.jit(jax.vmap(
+        base, in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -116,15 +133,43 @@ class MultiMatcher:
         spec = P(*(("pair",) + (None,) * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
+    def _host_stage_batch(self, imgs, pgroups, rot_inv, hr, wr, hc, wc,
+                          Vb, log, it):
+        """Host-stage detection (native MSER over host-rendered views)
+        for every gallery image, threaded — the ctypes calls release the
+        GIL, so images run in parallel on host cores while the device
+        pipeline stays busy.  Returns stacked (P, Vb, K, ...) arrays."""
+        from concurrent.futures import ThreadPoolExecutor
+        P_n = imgs.shape[0]
+        V = len(pgroups[0])
+
+        def one(i):
+            return self.qmatcher._host_stage_regions(
+                it.detector, imgs[i], pgroups[i], rot_inv[i, :V], hr, wr,
+                hc, wc, TimeLog(), img_idx=i)
+
+        with log.phase("DetectTime"):
+            with ThreadPoolExecutor(max_workers=min(P_n, 8)) as ex:
+                regs = list(ex.map(one, range(P_n)))
+        out = {k: np.stack([r[k] for r in regs]) for k in regs[0]}
+        if Vb > V:
+            out = {k: np.concatenate(
+                [a, np.zeros((P_n, Vb - V) + a.shape[2:], a.dtype)], 1)
+                for k, a in out.items()}
+        return out
+
     def _process_gallery(self, imgs, sizes, it, prev_views, stores, log):
         """Batched SynthDetectDescribe over the gallery axis.  Mirrors
-        TwoViewMatcher._process_image with a leading (P,) dim; only
-        device detectors are supported on this axis (MSER galleries fall
-        back to the serial CLI path)."""
+        TwoViewMatcher._process_image with a leading (P,) dim.  Device
+        detectors run fully fused; host-stage MSER detects natively on
+        threaded host cores and describes batched on device
+        (mods_multi.cpp:250's serial loop, re-cut along the pair axis)."""
         cfg = self.cfg
-        if not self.qmatcher._device_det(it.detector):
+        if it.detector == "ReadAffs":
             raise NotImplementedError(
-                f"{it.detector} needs a host stage; use the serial path")
+                "ReadAffs has no per-gallery keypoint files; use the "
+                "serial path")
+        host_stage = not self.qmatcher._device_det(it.detector)
         P_n = imgs.shape[0]
         views, prev_views = synthesis.expand_views(it, prev_views)
         # per-image plans (sizes differ); groups are size-independent
@@ -182,24 +227,45 @@ class MultiMatcher:
             if Vb > V:
                 hinv = np.concatenate(
                     [hinv, np.repeat(hinv[:, :1], Vb - V, 1)], axis=1)
-            prog = _batched_group_program(
-                P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
-                p0.identity, it.detector, tuple(it.descriptors), cfg)
-            with log.phase("DetectTime"):
-                out = prog(imgs_j, self._shard_pair(jnp.asarray(rot_inv)),
-                           jnp.asarray(squash_inv),
-                           np.float32(p0.sigma_x), np.float32(p0.sigma_y),
-                           self._shard_pair(jnp.asarray(valid_hw)),
-                           self.qmatcher._region_budgets(pgroups[0],
-                                                         it.detector,
-                                                         Vb),
-                           self._shard_pair(jnp.asarray(hinv)))
+            if host_stage:
+                regs = self._host_stage_batch(
+                    imgs, pgroups, rot_inv, hr, wr, hc, wc, Vb, log, it)
+                prog = _batched_hostdet_program(
+                    P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
+                    p0.identity, cfg.caps.per_view,
+                    self.qmatcher._specs(it), cfg)
+                with log.phase("DescTime"):
+                    out = prog(
+                        imgs_j, self._shard_pair(jnp.asarray(rot_inv)),
+                        jnp.asarray(squash_inv),
+                        np.float32(p0.sigma_x), np.float32(p0.sigma_y),
+                        self._shard_pair(jnp.asarray(valid_hw)),
+                        self._shard_pair(jnp.asarray(regs["xy"])),
+                        self._shard_pair(jnp.asarray(regs["A"])),
+                        self._shard_pair(jnp.asarray(regs["s"])),
+                        self._shard_pair(jnp.asarray(regs["response"])),
+                        self._shard_pair(jnp.asarray(regs["mask"])),
+                        self._shard_pair(jnp.asarray(hinv)))
+            else:
+                prog = _batched_group_program(
+                    P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
+                    p0.identity, it.detector,
+                    self.qmatcher._specs(it), cfg)
+                with log.phase("DetectTime"):
+                    out = prog(
+                        imgs_j, self._shard_pair(jnp.asarray(rot_inv)),
+                        jnp.asarray(squash_inv),
+                        np.float32(p0.sigma_x), np.float32(p0.sigma_y),
+                        self._shard_pair(jnp.asarray(valid_hw)),
+                        self.qmatcher._region_budgets(pgroups[0],
+                                                      it.detector, Vb),
+                        self._shard_pair(jnp.asarray(hinv)))
             for name, d in out.items():
                 key = (it.detector, name)
                 st = stores.get(key)
                 if st is None:
                     stores[key] = st = BatchedDeviceStore(
-                        P_n, cfg.caps.per_image, get_spec(name).dim)
+                        P_n, cfg.caps.per_image, spec_for(name, cfg).dim)
                 st.append(d)
         return prev_views
 
@@ -296,7 +362,7 @@ class MultiMatcher:
                 bank[key] = parts
 
         for desc in plan.group_descriptors:
-            spec = get_spec(desc)
+            spec = spec_for(desc, cfg)
             qp = [qstores[(d, desc)] for d in plan.group_detectors
                   if (d, desc) in qstores]
             gp = [gstores[(d, desc)] for d in plan.group_detectors
@@ -318,7 +384,7 @@ class MultiMatcher:
                 with log.phase("MatchingTime"):
                     run(key, [qstores[key]], [gstores[key]],
                         it.fginn_for(desc), it.distance_for(desc),
-                        get_spec(desc))
+                        spec_for(desc, cfg))
 
     def _verify_bank(self, bank, log):
         cfg = self.cfg

@@ -24,16 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from mods_tpu import synthesis
-from mods_tpu.config import (AffineShapeParams, CapacityParams,
-                             DominantOrientationParams, IterationParams,
-                             MatchParams, MatchPlan, OrsaParams,
+from mods_tpu.config import (AffineShapeParams, BriskDetParams,
+                             CapacityParams, DaisyParams,
+                             DominantOrientationParams, FastParams,
+                             FreakParams, IterationParams, LiopParams,
+                             MatchParams, MatchPlan, MroghParams,
+                             OrbParams, OrsaParams, PixelsParams,
                              PyramidParams, RansacParams, Rung,
-                             SIFTDescriptorParams, as_rungs, replace)
+                             SIFTDescriptorParams, SsimParams,
+                             StarParams, SurfDetParams, as_rungs, replace)
 from mods_tpu.descriptors.describe import (extract_descriptor_patches,
                                            image_to_patch_scale)
 from mods_tpu.descriptors.orientation import detect_orientations, \
     rotate_shapes
-from mods_tpu.descriptors.registry import DescriptorSpec, get_spec
+from mods_tpu.descriptors.registry import (DescriptorSpec, get_spec,
+                                           spec_for)
 from mods_tpu.descriptors.sift import sift_histograms, sift_norm
 from mods_tpu.detectors.hessaff import detect_affine_keypoints
 from mods_tpu.matching.fginn import duplicate_filter, match_fginn
@@ -89,6 +94,18 @@ class EngineConfig:
     surf_threshold: float = 0.0004   # OpenSURF `thresh` default
     kaze_threshold: float = 0.001    # AKAZE `dthreshold` default
     tilde_filters: str = ""          # path to a TILDE filter file
+    # per-detector/per-descriptor INI sections (io_mods.cpp:104-652)
+    orb: OrbParams = OrbParams()
+    fast: FastParams = FastParams()
+    star: StarParams = StarParams()
+    surf_det: SurfDetParams = SurfDetParams()
+    brisk: BriskDetParams = BriskDetParams()
+    freak: FreakParams = FreakParams()
+    daisy: DaisyParams = DaisyParams()
+    liop: LiopParams = LiopParams()
+    ssim: SsimParams = SsimParams()
+    mrogh: MroghParams = MroghParams()
+    pixels: PixelsParams = PixelsParams()
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
@@ -454,7 +471,8 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                     from mods_tpu.descriptors.patch_descs import PATCH_FNS
                     for sp in fam_specs:
                         if sp.kind == "patch":
-                            res[sp.name] = PATCH_FNS[sp.name](patches)
+                            res[sp.name] = PATCH_FNS[sp.name](
+                                patches, **dict(sp.params))
                 if need_hist:
                     hist = sift_histograms(patches, base)
                     for sp in fam_specs:
@@ -482,8 +500,13 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                         res[sp.name] = v
                 if need_pix:
                     flat = patches.reshape(patches.shape[0], -1)
-                    nrm = jnp.sqrt(jnp.sum(flat * flat, -1,
-                                           keepdims=True))
+                    pix_sp = next(sp for sp in fam_specs
+                                  if sp.kind == "pixels")
+                    if dict(pix_sp.params).get("norm_type") == "L1":
+                        nrm = jnp.sum(jnp.abs(flat), -1, keepdims=True)
+                    else:
+                        nrm = jnp.sqrt(jnp.sum(flat * flat, -1,
+                                               keepdims=True))
                     res["Pixels"] = flat / jnp.maximum(nrm, 1e-6)
 
             zero = jnp.zeros_like(sv)
@@ -523,13 +546,27 @@ def _make_detect_fn(det: str, cfg: EngineConfig):
         aff = cfg.affine
         return lambda v, hw, rn: detect_affine_keypoints(v, hw, pyr, aff,
                                                          caps, rn)
-    if det in ("ORB", "BRISK"):
+    if det == "ORB":
         from mods_tpu.detectors.orb import detect_orb
-        return lambda v, hw, rn: detect_orb(v, hw, caps)
+        o = cfg.orb
+        return lambda v, hw, rn: detect_orb(
+            v, hw, caps, n_features=o.nfeatures,
+            scale_factor=o.scale_factor, n_levels=o.nlevels,
+            edge_threshold=o.edge_threshold,
+            fast_threshold=o.fast_threshold)
+    if det == "BRISK":
+        # BRISK's AGAST pyramid as multi-scale FAST (cv::BRISK octaves)
+        from mods_tpu.detectors.orb import detect_orb
+        b = cfg.brisk
+        return lambda v, hw, rn: detect_orb(
+            v, hw, caps, n_levels=max(b.octaves, 1) * 2,
+            scale_factor=1.4142135, fast_threshold=float(b.thresh))
     if det == "SURF":
         from mods_tpu.detectors.surf import detect_surf
         thr = cfg.surf_threshold
-        return lambda v, hw, rn: detect_surf(v, hw, caps, thr)
+        oc = cfg.surf_det.octaves
+        return lambda v, hw, rn: detect_surf(v, hw, caps, thr,
+                                             n_octaves=oc)
     if det == "KAZE":
         from mods_tpu.detectors.kaze import detect_kaze
         thr = cfg.kaze_threshold
@@ -543,10 +580,14 @@ def _make_detect_fn(det: str, cfg: EngineConfig):
         return lambda v, hw, rn: detect_tilde(v, hw, caps, filters)
     if det == "STAR":
         from mods_tpu.detectors.corners import detect_star
-        return lambda v, hw, rn: detect_star(v, hw, caps)
+        # OpenCV responseThreshold (default 30) is on a ~7x-scaled
+        # kernel sum; mean-difference units are ~responseThreshold/7.5
+        thr = cfg.star.response_threshold / 7.5
+        return lambda v, hw, rn: detect_star(v, hw, caps, thr)
     if det == "FAST":
         from mods_tpu.detectors.corners import detect_fast
-        return lambda v, hw, rn: detect_fast(v, hw, caps)
+        thr = cfg.fast.threshold
+        return lambda v, hw, rn: detect_fast(v, hw, caps, thr)
     if det == "MSER":
         from mods_tpu.detectors.mser_tpu import detect_mser_tpu
         mp = cfg.mser
@@ -892,6 +933,11 @@ class TwoViewMatcher:
             jax.block_until_ready(x)
         return x
 
+    def _specs(self, it: IterationParams) -> tuple:
+        """Config-resolved DescriptorSpecs for a rung's descriptor list
+        (hashable — part of the fused program cache key)."""
+        return tuple(spec_for(n, self.cfg) for n in it.descriptors)
+
     def _device_det(self, det: str) -> bool:
         if det == "MSER":
             return self.cfg.mser.backend == "device"
@@ -1103,7 +1149,7 @@ class TwoViewMatcher:
                 prog = _fused_hostdet_program(
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, cfg.caps.per_view,
-                    tuple(it.descriptors), cfg)
+                    self._specs(it), cfg)
                 with log.phase("DescTime"):
                     out = prog(img_j, jnp.asarray(rot_inv),
                                jnp.asarray(squash_inv), sig_x, sig_y,
@@ -1121,7 +1167,7 @@ class TwoViewMatcher:
             elif not self.sync_timing:
                 prog = _fused_group_program(
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
-                    p0.identity, it.detector, tuple(it.descriptors), cfg)
+                    p0.identity, it.detector, self._specs(it), cfg)
                 with log.phase("DetectTime"):
                     out = prog(img_j, jnp.asarray(rot_inv),
                                jnp.asarray(squash_inv), sig_x, sig_y,
@@ -1144,7 +1190,7 @@ class TwoViewMatcher:
 
                 dp = _desc_program(
                     Vb, hc, wc, h, w, regs.capacity,
-                    tuple(it.descriptors), cfg.dom_ori, pe.mr_size,
+                    self._specs(it), cfg.dom_ori, pe.mr_size,
                     pe.patch_size, pe.photo_norm, cfg.caps)
                 with log.phase("DescTime"):
                     out = dp(views_arr, valid_hw, regs.xy, regs.A,
@@ -1155,8 +1201,8 @@ class TwoViewMatcher:
                 key = (it.detector, name)
                 st = stores.get(key)
                 if st is None:
-                    stores[key] = st = DeviceStore(cfg.caps.per_image,
-                                                   get_spec(name).dim)
+                    stores[key] = st = DeviceStore(
+                        cfg.caps.per_image, spec_for(name, cfg).dim)
                 st.append(d)
         return prev_views
 
@@ -1229,7 +1275,7 @@ class TwoViewMatcher:
         # grouped: pool stores across group_detectors per descriptor,
         # thresholds from the global [Matching] maps
         for desc in plan.group_descriptors:
-            spec = get_spec(desc)
+            spec = spec_for(desc, cfg)
             pooled1 = [stores1[(det, desc)] for det in plan.group_detectors
                        if (det, desc) in stores1]
             pooled2 = [stores2[(det, desc)] for det in plan.group_detectors
@@ -1257,7 +1303,7 @@ class TwoViewMatcher:
                 if key not in stores1 or key not in stores2:
                     continue
                 parts = self._match_one(
-                    [stores1[key]], [stores2[key]], get_spec(desc),
+                    [stores1[key]], [stores2[key]], spec_for(desc, cfg),
                     it.fginn_for(desc), it.distance_for(desc), log)
                 if parts:
                     self._bank[key] = parts

@@ -124,25 +124,43 @@ def orsa_f(xy1: jax.Array, xy2: jax.Array, mask: jax.Array,
         return F[i], nfa[i], th2[i]
 
     def round_body(carry, key):
-        bF, bnfa, bth2 = carry
-        # sample from the whole set in the first rounds, from the current
-        # best consensus afterwards (ORSA's optimization phase)
-        d2a, d2b = _epiline_dist2(bF, xy1, xy2)
-        err2 = jnp.maximum(d2a, d2b)
-        inl = mask & (err2 <= bth2) & (bnfa < 1e29)
-        n_inl = jnp.sum(inl.astype(jnp.int32))
-        refine = n_inl >= 14
-        pool_idx = jnp.where(
-            refine, jnp.nonzero(inl, size=n, fill_value=0)[0], valid_idx)
-        pool_n = jnp.where(refine, jnp.maximum(n_inl, 1), nvalid)
-        F, nfa, th2 = hyp_round(key, pool_idx, pool_n)
+        bF, bnfa, bth2, stall = carry
+
+        def do_round(_):
+            # sample from the whole set in the first rounds, from the
+            # current best consensus afterwards (ORSA's optimization
+            # phase)
+            d2a, d2b = _epiline_dist2(bF, xy1, xy2)
+            err2 = jnp.maximum(d2a, d2b)
+            inl = mask & (err2 <= bth2) & (bnfa < 1e29)
+            n_inl = jnp.sum(inl.astype(jnp.int32))
+            refine = n_inl >= 14
+            pool_idx = jnp.where(
+                refine, jnp.nonzero(inl, size=n, fill_value=0)[0],
+                valid_idx)
+            pool_n = jnp.where(refine, jnp.maximum(n_inl, 1), nvalid)
+            return hyp_round(key, pool_idx, pool_n)
+
+        def skip(_):
+            return bF, bnfa, bth2
+
+        # adaptive termination (the reference's `nsamples` update,
+        # orsa.cpp:371+): once log-NFA has not meaningfully improved for
+        # stall_rounds consecutive rounds, later rounds are skipped —
+        # the scan stays bounded for jit, but converged problems stop
+        # paying for hypothesis batches
+        run = stall < pars.stall_rounds
+        F, nfa, th2 = jax.lax.cond(run, do_round, skip, None)
+        improved = nfa < bnfa - pars.min_improvement
+        stall = jnp.where(improved, 0, stall + 1)
         better = nfa < bnfa
         return (jnp.where(better, F, bF), jnp.minimum(nfa, bnfa),
-                jnp.where(better, th2, bth2)), None
+                jnp.where(better, th2, bth2), stall), None
 
     keys = jax.random.split(key, pars.rounds)
-    state0 = (jnp.eye(3), jnp.float32(1e30), jnp.float32(0.0))
-    (bF, bnfa, bth2), _ = jax.lax.scan(round_body, state0, keys)
+    state0 = (jnp.eye(3), jnp.float32(1e30), jnp.float32(0.0),
+              jnp.int32(0))
+    (bF, bnfa, bth2, _), _ = jax.lax.scan(round_body, state0, keys)
 
     d2a, d2b = _epiline_dist2(bF, xy1, xy2)
     err2 = jnp.maximum(d2a, d2b)

@@ -74,3 +74,63 @@ def test_run_and_time_logs(tmp_path):
     tlines = tp.read_text().strip().splitlines()
     assert tlines[0].split()[0] == "Synth"
     assert len(tlines[1].split()) == len(tlines[0].split())
+
+
+def test_run_manifest_resume(tmp_path):
+    """Batch checkpoint/resume (SURVEY.md §5.3): a rerun with the same
+    manifest only executes pending gallery images."""
+    from mods_tpu.parallel.manifest import RunManifest
+
+    mpath = str(tmp_path / "run.manifest.json")
+    m = RunManifest.load(mpath, query="q.png")
+    paths = ["a.png", "b.png", "c.png"]
+    assert m.pending(paths) == paths
+    m.record("a.png", 12, 40, 2)
+    m.save()
+
+    # fresh load resumes: a is done, b/c pending
+    m2 = RunManifest.load(mpath, query="q.png")
+    assert m2.pending(paths) == ["b.png", "c.png"]
+    assert m2.result("a.png")["n_matches"] == 12
+    # a manifest recorded for a DIFFERENT query must not suppress work
+    m3 = RunManifest.load(mpath, query="other.png")
+    assert m3.pending(paths) == paths
+
+
+def test_match_multi_cli_resume(tmp_path):
+    """End-to-end: kill-and-rerun semantics through the CLI — second run
+    with the manifest skips the done image (mods_multi equivalent)."""
+    from PIL import Image
+    from mods_tpu.cli import cmd_match_multi
+    from mods_tpu.parallel.manifest import RunManifest
+
+    rng = np.random.default_rng(0)
+    base = np.kron(rng.uniform(0, 255, (12, 16)).astype(np.float32),
+                   np.ones((8, 8), np.float32)).astype(np.uint8)
+    qp = str(tmp_path / "q.png")
+    g1 = str(tmp_path / "g1.png")
+    g2 = str(tmp_path / "g2.png")
+    Image.fromarray(base).save(qp)
+    Image.fromarray(np.roll(base, 5, axis=1)).save(g1)
+    Image.fromarray(base[::-1].copy()).save(g2)
+    lst = str(tmp_path / "list.txt")
+    with open(lst, "w") as f:
+        f.write(f"{g1}\n{g2}\n")
+    # pre-mark g1 done with a sentinel count: the run must keep it
+    mpath = str(tmp_path / "m.json")
+    m = RunManifest.load(mpath, query=qp)
+    m.record(g1, 777, 999, 1)
+    m.save()
+    # iters file with an MSER rung forces the serial (host-stage) path
+    iters = str(tmp_path / "iters.ini")
+    with open(iters, "w") as f:
+        f.write("[Iterations]\nSteps=1\nminMatches=5\n"
+                "[MSER0]\nTiltSet=1\nScaleSet=1\n"
+                "Descriptors=RootSIFT\nFGINNThreshold=0.85\n")
+    rc = cmd_match_multi([qp, lst, "", iters, "0", "0", mpath])
+    assert rc == 0
+    m2 = RunManifest.load(mpath, query=qp)
+    # g1's sentinel untouched (skipped); g2 freshly computed
+    assert m2.result(g1)["n_matches"] == 777
+    assert m2.result(g2) is not None
+    assert m2.result(g2)["n_matches"] != 777

@@ -114,3 +114,46 @@ def test_global_stop_decision():
     assert bool(global_stop_decision(jnp.asarray([12, 11]), 10))
     # any-matched variant (GetAtLeastOneImageMatch semantics)
     assert bool(jnp.any(counts >= 10))
+
+
+def test_multi_matcher_cviu_subset_with_mser():
+    """CVIU-subset ladder INCLUDING an MSER rung through the pair-sharded
+    MultiMatcher: host-stage MSER detects natively per gallery image
+    (threaded), description/matching run batched over the mesh
+    (mods_multi.cpp:229-260 re-cut along the pair axis)."""
+    _require_devices(8)
+    from mods_tpu.config import CapacityParams, IterationParams, \
+        RansacParams
+    from mods_tpu.parallel.multi import MultiMatcher
+    from mods_tpu.pipeline import EngineConfig
+    from tests.test_pipeline import textured_image, warp_np
+
+    q = textured_image(128, 160, seed=3)
+    H = np.array([[1.0, 0.0, 6.0], [0.0, 1.0, -4.0], [0, 0, 1.0]])
+    good = warp_np(q, H, 128, 160)
+    gallery = [np.asarray(textured_image(128, 160, seed=77)), good]
+
+    # ORB rung then an MSER rung — the shape of the CVIU ladder's
+    # first escalation (iters_mods_cviu.ini:4-55)
+    ladder = [
+        IterationParams(detector="ORB", descriptors=("ORB",),
+                        fginn_threshold=(0.0,),
+                        distance_threshold=(60.0,)),
+        IterationParams(detector="MSER", descriptors=("RootSIFT",),
+                        fginn_threshold=(0.85,)),
+    ]
+    cfg = EngineConfig(
+        caps=CapacityParams(per_octave=512, per_view=256, per_group=512,
+                            per_image=512, max_angles=2,
+                            tentatives=1024),
+        ransac=RansacParams(err_threshold=3.0, batch_hypotheses=256,
+                            max_rounds=2),
+        min_matches=1000)   # force both rungs to run
+    mesh = make_mesh({"pair": 2, "kp": 4})
+    m = MultiMatcher(ladder, cfg, mesh=mesh)
+    res = m.match(q, gallery, stop_at_first=False)
+    assert res.counts.shape == (2,)
+    assert res.steps_used == 2
+    # the true pair must dominate the unrelated texture
+    assert res.counts[1] > res.counts[0], res.counts
+    assert res.counts[1] >= 10, res.counts
