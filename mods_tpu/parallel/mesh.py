@@ -19,6 +19,7 @@ is a psum-reduced scalar across pair shards.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +27,45 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     local_device_ids=None) -> None:
+    """Multi-host runtime startup (SURVEY.md §5.8).
+
+    Arguments default from the environment so launchers just export
+    MODS_COORDINATOR / MODS_NUM_PROCESSES / MODS_PROCESS_ID (or rely on
+    the TPU-pod autodetection built into jax.distributed.initialize).
+    After this, jax.devices() spans every host and make_mesh() builds
+    DCN+ICI-spanning meshes; pair shards ride DCN, view/kp shards ICI.
+    """
+    coordinator = coordinator or os.environ.get("MODS_COORDINATOR")
+    kw = {}
+    if coordinator:
+        kw = dict(
+            coordinator_address=coordinator,
+            num_processes=int(num_processes
+                              or os.environ["MODS_NUM_PROCESSES"]),
+            process_id=int(process_id
+                           if process_id is not None
+                           else os.environ["MODS_PROCESS_ID"]))
+        if local_device_ids is not None:
+            kw["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kw)
+
+
+def host_local_array(mesh: Mesh, spec: P, local_np: np.ndarray):
+    """Assemble a GLOBAL sharded array from each process's local rows —
+    the multi-host feed path for pair-sharded galleries (every host
+    loads only its own images; nothing is replicated over DCN)."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, local_np)
+
+
 def make_mesh(axis_sizes: dict[str, int] | None = None,
               devices=None) -> Mesh:
-    """Build a mesh over available devices.
+    """Build a mesh over available devices.  After init_distributed()
+    this spans every process: jax.devices() is the global device list.
 
     axis_sizes e.g. {"pair": 4, "kp": 2}; defaults to all devices on one
     ``pair`` axis.

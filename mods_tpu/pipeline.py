@@ -256,16 +256,30 @@ def _make_render_fn(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
     from mods_tpu.ops.gaussian import gaussian_blur_rt
     from mods_tpu.ops.warp import affine_warp
 
-    def render(img, rot_inv, squash_inv, sig_x, sig_y):
+    def clamp_pad(view, vhw):
+        # replicate the last valid row/col into the bucketed-canvas pad:
+        # a constant-fill pad would manufacture a strong artificial edge
+        # at the valid boundary and spawn hundreds of junk detections
+        # per tilt view (the reference's canvas ends exactly at the view
+        # extent, so its blur sees replicated true edges there)
+        vh = jnp.maximum(vhw[0], 1)
+        vw = jnp.maximum(vhw[1], 1)
+        rows = jnp.minimum(jnp.arange(hc), vh - 1)
+        cols = jnp.minimum(jnp.arange(wc), vw - 1)
+        return view[rows][:, cols]
+
+    def render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw):
         if identity:
             views = jnp.full((V, hc, wc), 128.0, img.dtype)
-            return views.at[:, :h0, :w0].set(img[None])
-        rots = jax.vmap(lambda m: affine_warp(
-            img, m, hr, wr, fill=128.0))(rot_inv)
-        if do_blur:
-            rots = gaussian_blur_rt(rots, sig_x, sig_y)
-        return jax.vmap(lambda im: affine_warp(
-            im, squash_inv, hc, wc, fill=128.0))(rots)
+            views = views.at[:, :h0, :w0].set(img[None])
+        else:
+            rots = jax.vmap(lambda m: affine_warp(
+                img, m, hr, wr, fill=128.0))(rot_inv)
+            if do_blur:
+                rots = gaussian_blur_rt(rots, sig_x, sig_y)
+            views = jax.vmap(lambda im: affine_warp(
+                im, squash_inv, hc, wc, fill=128.0))(rots)
+        return jax.vmap(clamp_pad)(views, valid_hw)
 
     return render
 
@@ -616,7 +630,7 @@ def _fused_group_program(V: int, h0: int, w0: int, hr: int, wr: int,
 
     def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn,
                 hinv):
-        views = render(img, rot_inv, squash_inv, sig_x, sig_y)
+        views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
         regs = detect(views, valid_hw, regn)
         return desc(views, valid_hw, regs.xy, regs.A, regs.s,
                     regs.response, regs.mask, hinv)
@@ -643,7 +657,7 @@ def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
 
     def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw,
                 regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv):
-        views = render(img, rot_inv, squash_inv, sig_x, sig_y)
+        views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
         return desc(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
                     regs_mask, hinv)
 
@@ -1182,7 +1196,7 @@ class TwoViewMatcher:
                 with log.phase("SynthTime"):
                     views_arr = render(img_j, jnp.asarray(rot_inv),
                                        jnp.asarray(squash_inv), sig_x,
-                                       sig_y)
+                                       sig_y, valid_hw)
                     self._sync(views_arr)
 
                 regs = self._detect_group(views_arr, valid_hw, group, it,

@@ -13,7 +13,11 @@ def setup_cache(path: str = "/root/repo/.jax_cache") -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: through the remote-compile tunnel even a
+        # sub-second compile costs seconds of RTT per process, and the
+        # ladder dispatches dozens of small helper programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

@@ -128,12 +128,9 @@ void mods_render_group(const float* img, int h, int w,
       float* o = out + (size_t)v * hc * wc;
       for (int y = 0; y < hc; ++y) {
         float* row = o + (size_t)y * wc;
-        if (y < h) {
-          std::memcpy(row, img + (size_t)y * w, sizeof(float) * w);
-          for (int x = w; x < wc; ++x) row[x] = 128.0f;
-        } else {
-          for (int x = 0; x < wc; ++x) row[x] = 128.0f;
-        }
+        const int ys = y < h ? y : h - 1;  // replicate last valid row
+        std::memcpy(row, img + (size_t)ys * w, sizeof(float) * w);
+        for (int x = w; x < wc; ++x) row[x] = row[w - 1];
       }
     }
     return;
@@ -148,17 +145,24 @@ void mods_render_group(const float* img, int h, int w,
                      scratch.data());
     }
     float* o = out + (size_t)v * hc * wc;
-    const int hv = valid_hw[v * 2], wv = valid_hw[v * 2 + 1];
-    warp_affine(rot.data(), hr, wr, squash, o, hv < hc ? hv : hc,
-                wv < wc ? wv : wc, wc, 128.0f);
-    // fill the canvas padding outside the valid extent
+    const int hv0 = valid_hw[v * 2], wv0 = valid_hw[v * 2 + 1];
+    const int hv = hv0 < hc ? hv0 : hc, wv = wv0 < wc ? wv0 : wc;
+    warp_affine(rot.data(), hr, wr, squash, o, hv, wv, wc, 128.0f);
+    // replicate the last valid row/col into the canvas padding — a
+    // constant fill would manufacture an artificial edge at the valid
+    // boundary (device render clamp_pad parity, pipeline.py)
+    if (wv > 0) {
 #pragma omp parallel for schedule(static)
-    for (int y = 0; y < hc; ++y) {
-      float* row = o + (size_t)y * wc;
-      if (y < hv) {
-        for (int x = wv; x < wc; ++x) row[x] = 128.0f;
-      } else {
-        for (int x = 0; x < wc; ++x) row[x] = 128.0f;
+      for (int y = 0; y < hv; ++y) {
+        float* row = o + (size_t)y * wc;
+        for (int x = wv; x < wc; ++x) row[x] = row[wv - 1];
+      }
+    }
+    if (hv > 0) {
+      const float* src = o + (size_t)(hv - 1) * wc;
+#pragma omp parallel for schedule(static)
+      for (int y = hv; y < hc; ++y) {
+        std::memcpy(o + (size_t)y * wc, src, sizeof(float) * wc);
       }
     }
   }

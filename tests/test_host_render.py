@@ -38,10 +38,11 @@ def _device_render(img, group, hc, wc):
     sx, sy = p0.tilt_scale
     squash_inv = np.asarray([[1.0 / sx, 0.0, 0.0],
                              [0.0, 1.0 / sy, 0.0]], np.float32)
+    valid_hw = jnp.asarray([[p.h_new, p.w_new] for p in group], np.int32)
     return np.asarray(prog(jnp.asarray(img), jnp.asarray(_rot_inv(group)),
                            jnp.asarray(squash_inv),
                            np.float32(p0.sigma_x),
-                           np.float32(p0.sigma_y)))
+                           np.float32(p0.sigma_y), valid_hw))
 
 
 def _host_render(img, group, hc, wc):

@@ -3,6 +3,7 @@ standard_2nd_closest, FGINN+DB, do_symm_check, add_up_right, do_clahe.
 Every field in config.py must be read somewhere (VERDICT r1 weak #4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -97,6 +98,7 @@ def test_ransac_f_symm_check():
     assert int(n_inl) > 0.8 * n, int(n_inl)
 
 
+@pytest.mark.slow
 def test_add_up_right_adds_copies():
     img = textured_image(128, 160, seed=7)
     base = EngineConfig(caps=CAPS)
@@ -113,6 +115,7 @@ def test_add_up_right_adds_copies():
     assert counts[1] > counts[0], counts
 
 
+@pytest.mark.slow
 def test_clahe_match_path():
     img1 = textured_image(128, 160, seed=11)
     H = np.array([[1.0, 0.0, 6.0], [0.0, 1.0, -4.0], [0, 0, 1.0]])

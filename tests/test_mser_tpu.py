@@ -24,6 +24,7 @@ def blob_image(h=96, w=128, seed=0):
     return np.clip(img, 0, 255), blobs
 
 
+@pytest.mark.slow
 def test_label_components_vs_scipy():
     from scipy import ndimage
     rng = np.random.default_rng(1)
@@ -45,6 +46,7 @@ def test_label_components_vs_scipy():
         assert np.all(got[~m[b]] == 48 * 64)
 
 
+@pytest.mark.slow
 def test_device_mser_finds_native_blobs():
     img, blobs = blob_image()
     caps = CapacityParams(per_view=256)

@@ -2,6 +2,7 @@
 (reference synth-detection.cpp:1076-1170, imagerepresentation.cpp:721)."""
 
 import numpy as np
+import pytest
 
 from mods_tpu.io.oxford import (ellipses_to_frames, frames_to_ellipses,
                                 read_descriptors_benchmark, read_kps,
@@ -65,6 +66,7 @@ def test_kps_and_desc_roundtrip(tmp_path):
     np.testing.assert_allclose(d2, desc, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_readaffs_detector(tmp_path):
     """ReadAffs rung: keypoints from file flow through orientation +
     description and match against a detector rung."""

@@ -3,6 +3,7 @@ intensity normalization (pyramid.cpp:492-505), TILDE as a pyramid
 response (pyramid.cpp:182-197)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mods_tpu.config import CapacityParams, PyramidParams
@@ -46,6 +47,7 @@ def test_wld_scales_upper_levels():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tilde_as_scale_space_response():
     from mods_tpu.detectors.hessaff import detect_affine_keypoints
     img = jnp.asarray(textured_image(128, 128, seed=3))[None]
