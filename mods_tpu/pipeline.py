@@ -1231,8 +1231,11 @@ class TwoViewMatcher:
         if not (cfg.match.use_db_for_fginn and spec.name == "RootSIFT"
                 and cfg.match.sift_db_file):
             return None
+        import os
+        mtime = os.path.getmtime(cfg.match.sift_db_file)
         cached = getattr(self, "_fginn_db_cache", None)
-        if cached is not None and cached[0] == cfg.match.sift_db_file:
+        if cached is not None and cached[0] == (cfg.match.sift_db_file,
+                                                mtime):
             return cached[1]
         arr = np.loadtxt(cfg.match.sift_db_file, dtype=np.float32,
                          ndmin=2)
@@ -1245,7 +1248,8 @@ class TwoViewMatcher:
         desc[:n] = arr
         mask = np.zeros((cap,), bool)
         mask[:n] = True
-        self._fginn_db_cache = (cfg.match.sift_db_file, (desc, mask))
+        self._fginn_db_cache = ((cfg.match.sift_db_file, mtime),
+                                (desc, mask))
         return desc, mask
 
     def _match_one(self, parts1: list, parts2: list, spec,
