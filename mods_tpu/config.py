@@ -349,6 +349,10 @@ class CapacityParams:
     """Static capacities for fixed-shape TPU programs (no reference
     counterpart — the reference grows std::vectors dynamically)."""
     per_octave: int = 8192     # candidate extrema per octave per view
+    per_octave_baum: int = 512  # localized keypoints fed to Baumberg per
+    #                             octave per view (strongest first) — its
+    #                             windowed SMM resampling dominates
+    #                             detection cost
     per_view: int = 2048       # detected regions per synthetic view
     per_group: int = 2048      # compacted regions per view GROUP — the
     #                            orient/describe row count (pipeline

@@ -58,8 +58,11 @@ def _detect_one_octave(oct_blurs, oct_resps, valid_hw, p: PyramidParams,
     sig = jnp.asarray(sigmas, jnp.float32)[lvl]
     s_oct = sig * jnp.exp2(loc["b"][:, 2] / L)
 
-    # compact survivors to the front (order-preserving)
-    key = jnp.where(ok, -jnp.arange(cap, dtype=jnp.float32), -jnp.inf)
+    # compact survivors, strongest responses first: the Baumberg slab is
+    # deliberately narrower than the candidate slab (its windowed SMM
+    # sampling is the costliest stage of detection), so when localized
+    # survivors exceed it, keep the strongest
+    key = jnp.where(ok, jnp.abs(loc["val"]), -jnp.inf)
     _, idx = jax.lax.top_k(key, baum_cap)
     ok = ok[idx] & (jnp.take(key, idx) > -jnp.inf)
     xy_oct = jnp.stack([x_oct[idx], y_oct[idx]], axis=-1)
@@ -134,7 +137,7 @@ def detect_affine_keypoints(imgs: jax.Array, valid_hw: jax.Array,
         # real images is well under 1 per 32 px
         oh, ow = octv.blurs.shape[-2:]
         cap = min(caps.per_octave, max(256, (oh * ow) // 32))
-        baum_cap = min(cap, caps.per_view)
+        baum_cap = min(cap, caps.per_view, caps.per_octave_baum)
         f = jax.vmap(
             lambda b, r, hw: _detect_one_octave(
                 b, r, hw, p, aff, cap, baum_cap, pos_th, fin_th, pd,

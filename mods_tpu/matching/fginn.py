@@ -58,7 +58,13 @@ def knn_squared_l2(desc1: jax.Array, mask1: jax.Array, desc2: jax.Array,
                 - 2.0 * jnp.dot(t, desc2.T,
                                 preferred_element_type=jnp.float32))
         dist = jnp.maximum(dist, 0.0)
-        nd, ni = jax.lax.top_k(-dist, k)
+        if jax.default_backend() == "tpu" and dist.shape[-1] >= 4 * k:
+            # TPU-native approximate top-k: the reference's FLANN kNN is
+            # itself approximate (kd-tree, checks=128); exact lax.top_k
+            # lowers to a full sort and dominates matching time
+            nd, ni = jax.lax.approx_max_k(-dist, k, recall_target=0.98)
+        else:
+            nd, ni = jax.lax.top_k(-dist, k)
         return -nd, ni
 
     dists, idx = jax.lax.map(one_tile, tiles)

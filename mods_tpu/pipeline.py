@@ -1088,11 +1088,17 @@ class TwoViewMatcher:
                     p0.sigma_y, p0.tilt_scale[0], p0.tilt_scale[1],
                     valid_hw, hc, wc, p0.identity)
             with log.phase("DetectTime"):
-                outs = [detect_msers_padded(
-                    views_np[v], valid_hw[v], cfg.caps,
-                    min_size=cfg.mser.min_size,
-                    max_area=cfg.mser.max_area,
-                    min_margin=cfg.mser.min_margin) for v in range(V)]
+                # threaded across views: the native component tree
+                # releases the GIL, so views overlap on host cores while
+                # the device pipeline stays busy
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=min(V, 8)) as ex:
+                    outs = list(ex.map(
+                        lambda v: detect_msers_padded(
+                            views_np[v], valid_hw[v], cfg.caps,
+                            min_size=cfg.mser.min_size,
+                            max_area=cfg.mser.max_area,
+                            min_margin=cfg.mser.min_margin), range(V)))
             stack = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
             stack.pop("sub_type", None)
             return stack

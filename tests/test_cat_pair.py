@@ -24,27 +24,32 @@ def load_cat():
 
 
 @pytest.mark.slow
-def test_cat_pair_ladder():
-    img1, img2, Hgt = load_cat()
-    ladder = [
-        IterationParams(tilt_set=(1.0,), scale_set=(1.0,)),
-        IterationParams(tilt_set=(1.0, 2.0, 4.0, 8.0), scale_set=(1.0,),
-                        phi_base=360.0),
-    ]
-    cfg = EngineConfig(
-        caps=CapacityParams(per_octave=2048, per_view=2048,
-                            per_image=8192, max_angles=2),
-        ransac=RansacParams(err_threshold=3.0, batch_hypotheses=1024,
-                            max_rounds=4),
-        min_matches=10)
-    m = TwoViewMatcher(ladder, cfg).match(img1, img2)
-    assert m.n_matches >= 10, (m.n_matches, m.n_tentatives)
+def test_cat_pair_cviu_ladder_gr_truth():
+    """The reference's own smoke-test protocol: full-resolution cat pair
+    through the REAL CVIU INI configs in GR_TRUTH mode (mods.cpp:312-335).
+    Reference binary measures 19-21 true / 52 tentatives (BASELINE.md).
 
-    # verify against ground truth: the matches themselves must be GT
-    # inliers (reference GR_TRUTH mode, mods.cpp:312-335)
-    ones = np.ones((m.xy1.shape[0], 1), np.float32)
-    p = np.concatenate([m.xy1, ones], 1) @ Hgt.T
-    proj = p[:, :2] / p[:, 2:]
-    err = np.linalg.norm(proj - m.xy2, axis=1)
-    frac_true = float((err < 5.0).mean())
-    assert frac_true > 0.7, (frac_true, m.n_matches)
+    GR_TRUTH counts tentatives that are inliers of the known homography —
+    robust to RANSAC sampling variance.  A reduced half-res ladder is NOT
+    a usable gate: measured 2 true / 23 tentatives (the pair is too
+    extreme for a 2-rung tilt ladder at half resolution).
+
+    ~15 min on the 2-core CPU backend (compile-dominated); ~1 min warm
+    on the TPU.  scripts/accuracy_cat.py writes the committed
+    ACCURACY_cat.json from the same protocol.
+    """
+    from mods_tpu.cli import _build_engine
+    from mods_tpu.config import replace
+
+    base = "/root/reference/build"
+    img1 = np.asarray(Image.open(f"{base}/examples/cat.png"))
+    img2 = np.asarray(Image.open(f"{base}/examples/cat2.png"))
+    Hgt = load_h_file(f"{base}/examples/cat.txt")
+    cfg, ladder = _build_engine(f"{base}/config_iter_mods_cviu.ini",
+                                f"{base}/iters_mods_cviu.ini",
+                                ver_type="GR_TRUTH")
+    cfg = replace(cfg, do_both_ransac_gt=False)
+    m = TwoViewMatcher(ladder, cfg).match(
+        img1, img2, gt_h=Hgt.astype(np.float32))
+    assert m.n_tentatives >= 30, (m.n_matches, m.n_tentatives)
+    assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
