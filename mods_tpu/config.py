@@ -308,9 +308,13 @@ class RansacParams:
     h_laf_coef: float = 10.0
     error_type: str = RansacErrorType.SYMM_SUM
     do_symm_check: bool = False
-    # TPU batching knobs (no reference counterpart): hypotheses per round
+    # TPU batching knobs (no reference counterpart): hypotheses per
+    # round.  max_rounds * batch_hypotheses should cover max_samples
+    # (the reference draws up to 100k samples when the inlier ratio is
+    # low, exp_ranF.c:1060); the confidence-based adaptive stop skips
+    # the unneeded rounds on easy problems.
     batch_hypotheses: int = 2048
-    max_rounds: int = 8
+    max_rounds: int = 48
     lo_inner_samples: int = 10
     lo_sample_size: int = 14
     lo_iters: int = 4
