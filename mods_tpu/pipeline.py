@@ -864,7 +864,8 @@ def _verify_bank_program(row_counts: tuple, tcap: int, cfg: EngineConfig,
                                     priority=c["prio"])
             tmask = c["mask"] & keep
             inl = gt_h_inliers(gt_h, c["xy1"], c["xy2"], tmask,
-                               cfg.ransac.err_threshold)
+                               cfg.ransac.err_threshold,
+                               cfg.ransac.error_type)
             out = dict(model=gt_h, inlier_mask=inl,
                        n_tent=jnp.sum(tmask.astype(jnp.int32)),
                        n_inl=jnp.sum(inl.astype(jnp.int32)),
@@ -878,7 +879,8 @@ def _verify_bank_program(row_counts: tuple, tcap: int, cfg: EngineConfig,
                                  c["mask"], key)
                 rtrue = gt_h_inliers(gt_h, c["xy1"], c["xy2"],
                                      r["inlier_mask"],
-                                     cfg.ransac.err_threshold)
+                                     cfg.ransac.err_threshold,
+                                     cfg.ransac.error_type)
                 out["ransac_matches"] = jnp.sum(
                     r["inlier_mask"].astype(jnp.int32))
                 out["ransac_true"] = jnp.sum(rtrue.astype(jnp.int32))

@@ -64,6 +64,42 @@ def h_error_forward(H: jax.Array, xy1: jax.Array,
     return jnp.sum(f * f, axis=-1)
 
 
+def h_error_sampson(H: jax.Array, xy1: jax.Array,
+                    xy2: jax.Array) -> jax.Array:
+    """Sampson (first-order geometric) H error — the reference's `HDs`
+    (Htools.c:158-200), used when the config's ErrorType is Sampson.
+
+    Algebraic residual e = [x2*w - u, y2*w - v] with (u, v, w) = H x1;
+    sampson^2 = e^T (J J^T)^{-1} e over the Jacobian in (x1,y1,x2,y2).
+    Noticeably SMALLER than the symmetric transfer error, so a 3 px
+    Sampson threshold admits more points than 3 px symmetric-sum.
+    """
+    x1, y1 = xy1[..., 0], xy1[..., 1]
+    x2, y2 = xy2[..., 0], xy2[..., 1]
+
+    def row(i):   # H[..., i, :] applied to homog x1 -> (..., N)
+        return (H[..., i:i + 1, 0] * x1 + H[..., i:i + 1, 1] * y1
+                + H[..., i:i + 1, 2])
+
+    def hij(i, j):  # entry broadcast against (..., N)
+        return H[..., i:i + 1, j]
+
+    u, v, w = row(0), row(1), row(2)
+    e1 = x2 * w - u
+    e2 = y2 * w - v
+    # J rows: d e1/d(x1,y1,x2,y2), d e2/d(x1,y1,x2,y2)
+    j11 = x2 * hij(2, 0) - hij(0, 0)
+    j12 = x2 * hij(2, 1) - hij(0, 1)
+    j21 = y2 * hij(2, 0) - hij(1, 0)
+    j22 = y2 * hij(2, 1) - hij(1, 1)
+    # JJ^T with the w terms from d/dx2, d/dy2
+    a = j11 * j11 + j12 * j12 + w * w
+    b = j11 * j21 + j12 * j22
+    c = j21 * j21 + j22 * j22 + w * w
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    return (c * e1 * e1 - 2.0 * b * e1 * e2 + a * e2 * e2) / det
+
+
 def f_epipolar_lines(F: jax.Array, xy1: jax.Array) -> jax.Array:
     """l2 = F x1 for (..., 3, 3) x (N, 2) -> (..., N, 3)."""
     ones = jnp.ones_like(xy1[..., :1])

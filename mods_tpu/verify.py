@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mods_tpu.ransac.errors import h_error_symm
+from mods_tpu.ransac.errors import h_error_sampson, h_error_symm
 
 
 def load_h_file(path: str) -> np.ndarray:
@@ -21,8 +21,19 @@ def load_h_file(path: str) -> np.ndarray:
 
 
 def gt_h_inliers(H: jax.Array, xy1: jax.Array, xy2: jax.Array,
-                 mask: jax.Array, threshold: float = 3.0) -> jax.Array:
-    """Inlier mask of correspondences under a known H (image1 -> image2),
-    symmetric transfer error (the reference's default GT check)."""
-    e = h_error_symm(jnp.asarray(H, jnp.float32), xy1, xy2)
+                 mask: jax.Array, threshold: float = 3.0,
+                 error_type: str = "sampson") -> jax.Array:
+    """Inlier mask of correspondences under a known H (image1 -> image2).
+
+    The metric follows the config's RANSAC ErrorType exactly as the
+    reference's HMatrixFiltering does (matching.cpp:1080-1098): the CVIU
+    configs select Sampson, which at 3 px admits ~2x the displacement of
+    the symmetric-sum check."""
+    if error_type == "symm_max":
+        e = h_error_symm(jnp.asarray(H, jnp.float32), xy1, xy2,
+                         mode="max")
+    elif error_type == "symm_sum":
+        e = h_error_symm(jnp.asarray(H, jnp.float32), xy1, xy2)
+    else:
+        e = h_error_sampson(jnp.asarray(H, jnp.float32), xy1, xy2)
     return mask & (e < threshold * threshold)
