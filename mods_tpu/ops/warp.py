@@ -126,19 +126,37 @@ def extract_patches(img: jax.Array, xy: jax.Array, A: jax.Array,
     return bilinear_sample(img, coords[..., 0], coords[..., 1], fill=fill)
 
 
-def touches_border(img_w, img_h, xy, A, half_extent_x, half_extent_y):
+def touches_border(img_w, img_h, xy, A, half_extent_x, half_extent_y,
+                   clamp_frac=None):
     """Vectorized `interpolateCheckBorders` (helpers.cpp:524-549): True if
     the affine-mapped patch corners leave the safe interior.
 
     half_extent_*: scalar or (K,) — half width/height of the sampled patch
     in *patch* units before applying A (the reference passes res dims).
+
+    clamp_frac: if set, the corner offsets are clamped to
+    ``clamp_frac * img_dim`` per axis before the interior test.  The
+    reference rejects any region whose support leaves the image — safe
+    for benchmark-sized images where supports are a few % of the extent,
+    but it annihilates ALL detections on tiny images (a 64 px image with
+    s≈3 keypoints keeps almost nothing).  Our samplers read with
+    replicate clamping, so regions straddling the border are
+    well-defined; the clamp bounds the rejection band to a fixed central
+    fraction while staying bit-identical to the reference whenever
+    supports are below ``clamp_frac`` of the image (always true on the
+    reference's own benchmark data).
     """
     hw = jnp.ceil(half_extent_x)
     hh = jnp.ceil(half_extent_y)
     cx = jnp.stack([-hw, -hw, hw, hw], axis=-1)
     cy = jnp.stack([-hh, hh, -hh, hh], axis=-1)
-    ix = xy[..., 0:1] + cx * A[..., 0, 0:1] + cy * A[..., 0, 1:2]
-    iy = xy[..., 1:2] + cx * A[..., 1, 0:1] + cy * A[..., 1, 1:2]
+    dx = cx * A[..., 0, 0:1] + cy * A[..., 0, 1:2]
+    dy = cx * A[..., 1, 0:1] + cy * A[..., 1, 1:2]
+    if clamp_frac is not None:
+        dx = jnp.clip(dx, -clamp_frac * img_w, clamp_frac * img_w)
+        dy = jnp.clip(dy, -clamp_frac * img_h, clamp_frac * img_h)
+    ix = xy[..., 0:1] + dx
+    iy = xy[..., 1:2] + dy
     bad = ((jnp.floor(ix) <= 0) | (jnp.floor(iy) <= 0)
            | (jnp.ceil(ix) >= img_w - 2) | (jnp.ceil(iy) >= img_h - 2))
     return jnp.any(bad, axis=-1)

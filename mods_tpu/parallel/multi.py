@@ -282,6 +282,18 @@ class MultiMatcher:
         gal = [to_gray_np(g) for g in gallery_imgs]
         imgs, sizes = _pad_gallery(gal)
         self._imgs_dev = None     # uploaded once, reused across rungs
+        P_real = imgs.shape[0]
+        # the pair axis shards the gallery: the global batch must be a
+        # multiple of the mesh's pair size, so pad with blank images
+        # (zero pixels -> no detections -> zero counts), sliced off the
+        # results below
+        if self.mesh is not None and "pair" in self.mesh.axis_names:
+            pair = self.mesh.shape["pair"]
+            pad = -P_real % pair
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+                sizes = list(sizes) + [sizes[-1]] * pad
         P_n = imgs.shape[0]
         self.qmatcher._wh = (max(q.shape[1], imgs.shape[2]),
                              max(q.shape[0], imgs.shape[1]))
@@ -291,7 +303,7 @@ class MultiMatcher:
         qprev: dict = {}
         gprev: dict = {}
         bank: dict = {}
-        counts = np.zeros(P_n, np.int32)
+        counts = np.zeros(P_real, np.int32)
         steps = 0
         from mods_tpu.config import IterationParams
         ladder = self.ladder if self.ladder else [IterationParams()]
@@ -313,26 +325,26 @@ class MultiMatcher:
             if out is None:
                 continue
             last_out = out
-            counts = np.asarray(out["n_inl"])
+            counts = np.asarray(out["n_inl"])[:P_real]
             matched = counts >= cfg.min_matches
             if (stop_at_first and matched.any()) or matched.all():
                 break
         log.finalize()
         xy1, xy2 = [], []
-        H = np.tile(np.eye(3, dtype=np.float32), (P_n, 1, 1))
-        n_tent = np.zeros(P_n, np.int32)
+        H = np.tile(np.eye(3, dtype=np.float32), (P_real, 1, 1))
+        n_tent = np.zeros(P_real, np.int32)
         if last_out is not None:
             inl = np.asarray(last_out["inlier_mask"])
             a1 = np.asarray(last_out["xy1_all"])
             a2 = np.asarray(last_out["xy2_all"])
-            H = np.asarray(last_out["model"])
-            n_tent = np.asarray(last_out["n_tent"])
-            for i in range(P_n):
+            H = np.asarray(last_out["model"])[:P_real]
+            n_tent = np.asarray(last_out["n_tent"])[:P_real]
+            for i in range(P_real):
                 xy1.append(a1[i][inl[i]])
                 xy2.append(a2[i][inl[i]])
         else:
-            xy1 = [np.zeros((0, 2))] * P_n
-            xy2 = [np.zeros((0, 2))] * P_n
+            xy1 = [np.zeros((0, 2))] * P_real
+            xy2 = [np.zeros((0, 2))] * P_real
         return MultiResult(counts=counts, n_tentatives=n_tent,
                            steps_used=steps, log=log, xy1=xy1, xy2=xy2,
                            H=H)

@@ -51,6 +51,14 @@ from mods_tpu.timing import TimeLog
 
 MIN_POINTS = 8  # matching.hpp MIN_POINTS
 
+# Border-rejection band cap as a fraction of the original image extent:
+# the reprojection filter (ReprojectRegions, synth-detection.cpp:567-580)
+# stays bit-identical to the reference whenever region supports are below
+# this fraction of the image (always true on benchmark-sized images) but
+# degrades gracefully on tiny images instead of rejecting everything —
+# our samplers replicate-clamp reads, so straddling regions are defined.
+BORDER_CLAMP_FRAC = 0.2
+
 
 @dataclass(frozen=True)
 class MserParams:
@@ -292,12 +300,12 @@ def _render_program(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
 
 
 @functools.lru_cache(maxsize=128)
-def _ss_detect_program(V: int, hc: int, wc: int, pyr: PyramidParams,
-                       aff: AffineShapeParams, caps: CapacityParams):
-    def program(views, valid_hw, reg_number):
-        return detect_affine_keypoints(views, valid_hw, pyr, aff, caps,
-                                       reg_number)
-    return jax.jit(program)
+def _split_detect_program(V: int, hc: int, wc: int, det: str,
+                          cfg: "EngineConfig"):
+    """Standalone detection program for the split (sync_timing) path —
+    jits the SAME traced dispatch as the fused path (_make_detect_fn),
+    so both paths honor identical configured thresholds."""
+    return jax.jit(_make_detect_fn(det, cfg))
 
 
 def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
@@ -364,7 +372,6 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
         A1 = take1(regs_A)
         s1 = take1(regs_s)
         r1 = take1(regs_resp)
-        vh = valid_hw[vidx].astype(jnp.float32)     # (C, 2) view dims
         hv = hinv[vidx]                             # (C, 2, 3)
         lin = hv[:, :, :2]
         xy_r1 = (jnp.einsum("cab,cb->ca", lin, xy1) + hv[:, :, 2])
@@ -378,11 +385,17 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
         if need_ori:
             patch_image_size = 2 * int(o_pe.mr_size) + 1
             img_to_patch = patch_image_size / P_o
-            k_sigma = 6.0 * 1.7320508
-            half_e = jnp.ceil(k_sigma * s1 / 2.0)
-            bad_o = touches_border(vh[:, 1:2], vh[:, 0:1], xy1, A1,
-                                   half_e, half_e)
-            ok_o = ok1 & ~bad_o
+            # The reference additionally drops regions whose orientation
+            # support leaves the *view* (DetectOrientation's
+            # interpolateCheckBorders, synth-detection.cpp:877-886) —
+            # required there because `interpolate` reads raw memory.  Our
+            # canvases are replicate-padded and the patch sampler clamps
+            # reads, so sampling past the valid extent is well-defined;
+            # the reprojection filter against the ORIGINAL image below
+            # (the reference's ReprojectRegions, synth-detection.cpp:
+            # 567-580) is the semantic gate and is nearly equivalent:
+            # view support maps to original support through the same H.
+            ok_o = ok1
             As_o = A1 * (img_to_patch * s1)[:, None, None]
             lvl_o, sc_o = select_level(As_o, P_o, L)
             patches_o = sample_affine_patches(
@@ -399,7 +412,8 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 A_r = jnp.einsum("cab,cbd->cad", lin, A1)
                 half = jnp.ceil(K_SIGMA * s1 / 2.0)
                 tb = touches_border(float(w0), float(h0), xy_r1, A_r,
-                                    half, half)
+                                    half, half,
+                                    clamp_frac=BORDER_CLAMP_FRAC)
                 m2 = ok1 & inside1 & ~tb
                 n2 = jnp.minimum(jnp.sum(m2.astype(jnp.int32)), C1)
                 idx2 = jnp.nonzero(m2, size=C1, fill_value=C1)[0]
@@ -428,7 +442,8 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
             tb = touches_border(
                 float(w0), float(h0),
                 jnp.broadcast_to(xy_r1[:, None], (C1, M, 2)), A_rf,
-                half[:, None], half[:, None])
+                half[:, None], half[:, None],
+                clamp_frac=BORDER_CLAMP_FRAC)
             m_f = amask & inside1[:, None] & ~tb    # (C1, M)
             flat2 = m_f.reshape(-1)
             n2 = jnp.sum(flat2.astype(jnp.int32))
@@ -678,76 +693,6 @@ def _compact_matches_program(tcap: int, out_cap: int):
     return jax.jit(program)
 
 
-@functools.lru_cache(maxsize=32)
-def _surf_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
-                         threshold: float):
-    from mods_tpu.detectors.surf import detect_surf
-
-    def program(views, valid_hw):
-        return detect_surf(views, valid_hw, caps, threshold)
-    return jax.jit(program)
-
-
-@functools.lru_cache(maxsize=32)
-def _kaze_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
-                         threshold: float):
-    from mods_tpu.detectors.kaze import detect_kaze
-
-    def program(views, valid_hw):
-        return detect_kaze(views, valid_hw, caps, threshold)
-    return jax.jit(program)
-
-
-@functools.lru_cache(maxsize=8)
-def _tilde_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
-                          filters_path: str):
-    from mods_tpu.detectors.tilde import (detect_tilde, load_tilde_filters,
-                                          procedural_filters)
-    filters = (load_tilde_filters(filters_path)[:2] if filters_path
-               else procedural_filters())
-
-    def program(views, valid_hw):
-        return detect_tilde(views, valid_hw, caps, filters)
-    return jax.jit(program)
-
-
-@functools.lru_cache(maxsize=32)
-def _corner_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
-                           det: str):
-    from mods_tpu.detectors.corners import detect_fast, detect_star
-    from mods_tpu.detectors.orb import detect_orb
-
-    def program(views, valid_hw):
-        if det == "STAR":
-            return detect_star(views, valid_hw, caps)
-        if det == "BRISK":      # multi-scale FAST pyramid
-            return detect_orb(views, valid_hw, caps)
-        return detect_fast(views, valid_hw, caps)
-    return jax.jit(program)
-
-
-@functools.lru_cache(maxsize=32)
-def _mser_detect_program(V: int, hc: int, wc: int, caps: CapacityParams,
-                         mp: MserParams):
-    from mods_tpu.detectors.mser_tpu import detect_mser_tpu
-
-    def program(views, valid_hw):
-        return detect_mser_tpu(
-            views, valid_hw, caps, min_size=mp.min_size,
-            max_area=mp.max_area, min_margin=mp.min_margin,
-            levels=mp.levels, passes=mp.passes)
-    return jax.jit(program)
-
-
-@functools.lru_cache(maxsize=32)
-def _orb_detect_program(V: int, hc: int, wc: int, caps: CapacityParams):
-    from mods_tpu.detectors.orb import detect_orb
-
-    def program(views, valid_hw):
-        return detect_orb(views, valid_hw, caps)
-    return jax.jit(program)
-
-
 @functools.lru_cache(maxsize=128)
 def _match_pair_program(n1: int, n2: int, cap: int, D: int, knn: int,
                         contrad: float, dup_mode: str, run_fginn: bool,
@@ -921,6 +866,8 @@ class TwoViewMatcher:
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
         self.key = jax.random.PRNGKey(seed)
+        # per-(rung, image-size) geometry/program cache (see _prep_groups)
+        self._prep_cache: dict = {}
         # keypoint files for the ReadAffs pseudo-detector, per image
         self.affs_paths: tuple = (None, None)
         # sync_timing=True blocks at phase boundaries so the TimeLog
@@ -980,64 +927,19 @@ class TwoViewMatcher:
         return jnp.asarray(regn, jnp.int32)
 
     def _detect_group(self, views, valid_hw, plans, it, log, img_idx=0):
-        """Dispatch detection for one rendered view group."""
+        """Dispatch detection for one rendered view group (split/timing
+        path) — shares _make_detect_fn with the fused path, so both
+        detect with identical configured thresholds."""
         cfg = self.cfg
         V = int(views.shape[0])
         hc, wc = views.shape[-2:]
         det = it.detector
         regn = self._region_budgets(plans, det, vb=V)
-
-        if det in ("HessianAffine", "DoG", "HarrisAffine"):
-            prog = _ss_detect_program(V, hc, wc, cfg.pyramid_for(det),
-                                      cfg.affine, cfg.caps)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw, regn)
-                self._sync(regs)
-            return regs
-        if det == "ORB":
-            from mods_tpu.detectors.orb import detect_orb
-            prog = _orb_detect_program(V, hc, wc, cfg.caps)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw)
-                self._sync(regs)
-            return regs
-        if det == "SURF":
-            prog = _surf_detect_program(V, hc, wc, cfg.caps,
-                                        cfg.surf_threshold)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw)
-                self._sync(regs)
-            return regs
-        if det == "KAZE":
-            prog = _kaze_detect_program(V, hc, wc, cfg.caps,
-                                        cfg.kaze_threshold)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw)
-                self._sync(regs)
-            return regs
-        if det == "TILDE":
-            prog = _tilde_detect_program(V, hc, wc, cfg.caps,
-                                         cfg.tilde_filters)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw)
-                self._sync(regs)
-            return regs
-        if det in ("FAST", "STAR", "BRISK"):
-            # BRISK's AGAST pyramid maps to multi-scale FAST == ORB's
-            # detector without orientation; keep FAST single-scale and
-            # STAR center-surround (imagerepresentation.cpp:1077-1224)
-            prog = _corner_detect_program(V, hc, wc, cfg.caps, det)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw)
-                self._sync(regs)
-            return regs
-        if det == "MSER":       # device backend (split/timing path)
-            prog = _mser_detect_program(V, hc, wc, cfg.caps, cfg.mser)
-            with log.phase("DetectTime"):
-                regs = prog(views, valid_hw)
-                self._sync(regs)
-            return regs
-        raise KeyError(f"unknown detector {det!r}")
+        prog = _split_detect_program(V, hc, wc, det, cfg)
+        with log.phase("DetectTime"):
+            regs = prog(views, valid_hw, regn)
+            self._sync(regs)
+        return regs
 
     def _host_stage_regions(self, det: str, g_host: np.ndarray,
                             group, rot_inv: np.ndarray, hr: int, wr: int,
@@ -1106,15 +1008,23 @@ class TwoViewMatcher:
             return stack
         raise KeyError(f"unknown host-stage detector {det!r}")
 
-    def _process_image(self, img: np.ndarray, it: IterationParams,
-                       prev_views: list, stores: dict, log: TimeLog,
-                       img_idx: int = 0, img_dev=None):
+    def _prep_groups(self, it: IterationParams, h: int, w: int,
+                     prev_views: list):
+        """Per-(rung, image-size) group preparation, cached across pairs:
+        the view grid, bucketed canvas shapes, inverse-rotation maps,
+        H inverses, budgets — all static geometry — are computed once,
+        uploaded once, and the fused program handle resolved once.  A
+        steady-state pair then does pure dispatches with device-resident
+        arguments (the per-group np.linalg.inv / jnp.asarray / program
+        cache-key hashing was a measurable per-pair host tax)."""
+        key = (it, h, w, tuple(prev_views))
+        hit = self._prep_cache.get(key)
+        if hit is not None:
+            return hit
         cfg = self.cfg
-        h, w = img.shape
-        views, prev_views = synthesis.expand_views(it, prev_views)
+        views, new_prev = synthesis.expand_views(it, prev_views)
         plans = [synthesis.plan_view(v, w, h) for v in views]
-        img_j = jnp.asarray(img) if img_dev is None else img_dev
-        pe = cfg.sift.patch_extraction
+        preps = []
         for group in synthesis.group_views(plans):
             p0 = group[0]
             V = len(group)
@@ -1145,79 +1055,101 @@ class TwoViewMatcher:
             sx, sy = p0.tilt_scale
             squash_inv = np.asarray(
                 [[1.0 / sx, 0.0, 0.0], [0.0, 1.0 / sy, 0.0]], np.float32)
-            sig_x = np.float32(p0.sigma_x)
-            sig_y = np.float32(p0.sigma_y)
             valid_np = np.zeros((Vb, 2), np.int32)
             valid_np[:V] = [[p.h_new, p.w_new] for p in group]
-            valid_hw = jnp.asarray(valid_np)
             hinv = np.asarray(
                 [np.linalg.inv(np.asarray(p.H, np.float64).reshape(3, 3)
                                )[:2, :] for p in group], np.float32)
             hinv = np.concatenate(
                 [hinv, np.repeat(hinv[:1], Vb - V, 0)]) if Vb > V else hinv
+            device_det = self._device_det(it.detector)
+            specs = self._specs(it)
+            if device_det:
+                program = _fused_group_program(
+                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
+                    p0.identity, it.detector, specs, cfg)
+            else:
+                program = _fused_hostdet_program(
+                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
+                    p0.identity, cfg.caps.per_view, specs, cfg)
+            preps.append(dict(
+                group=group, V=V, Vb=Vb, hr=hr, wr=wr, hc=hc, wc=wc,
+                identity=p0.identity, do_blur=p0.view.do_blur,
+                rot_inv_np=rot_inv,
+                rot_inv=jnp.asarray(rot_inv),
+                squash_inv=jnp.asarray(squash_inv),
+                sig_x=jnp.float32(p0.sigma_x),
+                sig_y=jnp.float32(p0.sigma_y),
+                valid_hw=jnp.asarray(valid_np),
+                hinv=jnp.asarray(hinv),
+                regn=self._region_budgets(group, it.detector, Vb),
+                program=program))
+        hit = (new_prev, preps)
+        self._prep_cache[key] = hit
+        return hit
 
+    def _process_image(self, img: np.ndarray, it: IterationParams,
+                       prev_views: list, stores: dict, log: TimeLog,
+                       img_idx: int = 0, img_dev=None):
+        cfg = self.cfg
+        h, w = img.shape
+        new_prev, preps = self._prep_groups(it, h, w, prev_views)
+        img_j = jnp.asarray(img) if img_dev is None else img_dev
+        pe = cfg.sift.patch_extraction
+        for gp in preps:
             # Host-stage detectors (host-backend MSER, ReadAffs):
             # keypoints computed on the host over host-rendered views;
             # the device program re-renders the views for description,
             # so full images never cross the host<->device link.
             if not self._device_det(it.detector):
+                V, Vb = gp["V"], gp["Vb"]
                 regs = self._host_stage_regions(
-                    it.detector, img, group, rot_inv[:V], hr, wr, hc, wc,
-                    log, img_idx)
+                    it.detector, img, gp["group"], gp["rot_inv_np"][:V],
+                    gp["hr"], gp["wr"], gp["hc"], gp["wc"], log, img_idx)
                 if Vb > V:      # pad view slots with empty region rows
                     regs = {k: np.concatenate(
                         [a, np.zeros((Vb - V,) + a.shape[1:], a.dtype)])
                         for k, a in regs.items()}
-                prog = _fused_hostdet_program(
-                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
-                    p0.identity, cfg.caps.per_view,
-                    self._specs(it), cfg)
                 with log.phase("DescTime"):
-                    out = prog(img_j, jnp.asarray(rot_inv),
-                               jnp.asarray(squash_inv), sig_x, sig_y,
-                               valid_hw,
-                               jnp.asarray(regs["xy"]),
-                               jnp.asarray(regs["A"]),
-                               jnp.asarray(regs["s"]),
-                               jnp.asarray(regs["response"]),
-                               jnp.asarray(regs["mask"]),
-                               jnp.asarray(hinv))
+                    out = gp["program"](
+                        img_j, gp["rot_inv"], gp["squash_inv"],
+                        gp["sig_x"], gp["sig_y"], gp["valid_hw"],
+                        jnp.asarray(regs["xy"]),
+                        jnp.asarray(regs["A"]),
+                        jnp.asarray(regs["s"]),
+                        jnp.asarray(regs["response"]),
+                        jnp.asarray(regs["mask"]), gp["hinv"])
                     self._sync(out)
             # fused single-dispatch path for device detectors; the split
             # path remains for sync_timing runs that want the
             # reference's per-phase wall-clock attribution
             elif not self.sync_timing:
-                prog = _fused_group_program(
-                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
-                    p0.identity, it.detector, self._specs(it), cfg)
                 with log.phase("DetectTime"):
-                    out = prog(img_j, jnp.asarray(rot_inv),
-                               jnp.asarray(squash_inv), sig_x, sig_y,
-                               valid_hw,
-                               self._region_budgets(group, it.detector,
-                                                    Vb),
-                               jnp.asarray(hinv))
+                    out = gp["program"](
+                        img_j, gp["rot_inv"], gp["squash_inv"],
+                        gp["sig_x"], gp["sig_y"], gp["valid_hw"],
+                        gp["regn"], gp["hinv"])
             else:
                 render = _render_program(
-                    Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
-                    p0.identity)
+                    gp["Vb"], h, w, gp["hr"], gp["wr"], gp["hc"],
+                    gp["wc"], gp["do_blur"], gp["identity"])
                 with log.phase("SynthTime"):
-                    views_arr = render(img_j, jnp.asarray(rot_inv),
-                                       jnp.asarray(squash_inv), sig_x,
-                                       sig_y, valid_hw)
+                    views_arr = render(img_j, gp["rot_inv"],
+                                       gp["squash_inv"], gp["sig_x"],
+                                       gp["sig_y"], gp["valid_hw"])
                     self._sync(views_arr)
 
-                regs = self._detect_group(views_arr, valid_hw, group, it,
-                                          log, img_idx)
+                regs = self._detect_group(views_arr, gp["valid_hw"],
+                                          gp["group"], it, log, img_idx)
 
                 dp = _desc_program(
-                    Vb, hc, wc, h, w, regs.capacity,
+                    gp["Vb"], gp["hc"], gp["wc"], h, w, regs.capacity,
                     self._specs(it), cfg.dom_ori, pe.mr_size,
                     pe.patch_size, pe.photo_norm, cfg.caps)
                 with log.phase("DescTime"):
-                    out = dp(views_arr, valid_hw, regs.xy, regs.A,
+                    out = dp(views_arr, gp["valid_hw"], regs.xy, regs.A,
                              regs.s, regs.response, regs.mask,
-                             jnp.asarray(hinv))
+                             gp["hinv"])
                     self._sync(out)
             for name, d in out.items():
                 key = (it.detector, name)
@@ -1226,7 +1158,7 @@ class TwoViewMatcher:
                     stores[key] = st = DeviceStore(
                         cfg.caps.per_image, spec_for(name, cfg).dim)
                 st.append(d)
-        return prev_views
+        return new_prev
 
     # -- matching ----------------------------------------------------------
 

@@ -126,3 +126,27 @@ def test_clahe_match_path():
                                            max_rounds=2))
     m = TwoViewMatcher([IterationParams()], cfg).match(img1, img2)
     assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
+
+
+def test_split_and_fused_paths_agree():
+    """sync_timing (split render/detect/describe) and the fused
+    single-dispatch path must produce identical stores, including
+    honoring configured detector thresholds (VERDICT r3 weak #6: the
+    old split path detected with default thresholds)."""
+    from mods_tpu.config import OrbParams
+
+    img = textured_image(128, 160, seed=3)
+    cfg = replace(EngineConfig(caps=CAPS),
+                  orb=OrbParams(nfeatures=150, fast_threshold=31.0))
+    it = IterationParams(detector="ORB", descriptors=("ORB",))
+    stores = {}
+    for sync in (False, True):
+        m = TwoViewMatcher([it], cfg, sync_timing=sync)
+        st = {}
+        m._process_image(np.asarray(img, np.float32), it, [], st,
+                         TimeLog())
+        stores[sync] = st[("ORB", "ORB")]
+    a, b = stores[False], stores[True]
+    assert a.count == b.count and a.count > 0, (a.count, b.count)
+    np.testing.assert_allclose(a.xy, b.xy, atol=1e-4)
+    np.testing.assert_allclose(a.desc, b.desc, atol=1e-5)
