@@ -46,10 +46,12 @@ def main():
     cfg, ladder = _build_engine(f"{REF_DIR}/config_iter_mods_cviu.ini",
                                 f"{REF_DIR}/iters_mods_cviu.ini",
                                 ver_type="LORANSACH")
-    # "pipelined" stop mode: rungs enqueue without blocking; completed
-    # counts are polled non-blockingly for the early stop — built for
-    # the tunneled-TPU serving path (per-rung host syncs cost 100s ms)
-    matcher = TwoViewMatcher(ladder, cfg, stop_mode="pipelined")
+    # "sync" stop mode: one scalar count read per rung.  Measured on the
+    # tunneled chip (PROFILE_ladder.json): free-running pipelined
+    # dispatch COLLAPSES the tunnel (216 s/pair vs 9.6 s sync) — deep
+    # async queues are pathological there, and the per-rung scalar sync
+    # also matches the reference's control flow (mods.cpp:229-230).
+    matcher = TwoViewMatcher(ladder, cfg, stop_mode="sync")
 
     # warmup: compile every rung program once (persistent-cached).  The
     # remote compile service intermittently drops connections on big

@@ -884,11 +884,14 @@ class TwoViewMatcher:
         # device work instead of per-rung host round trips.  On a
         # tunneled/remote device a single host sync costs hundreds of
         # milliseconds, so sync stalls the pipeline per rung.
-        # "pipelined" (the production serving mode) enqueues rungs
-        # without ever blocking, but polls completed rungs' counts with
-        # Array.is_ready() and stops enqueuing as soon as a finished
-        # rung crossed min_matches — sync's early exit without its
-        # stalls, async's pipelining without its wasted tail rungs.
+        # "pipelined" enqueues rungs without ever blocking, but polls
+        # completed rungs' counts with Array.is_ready() and stops
+        # enqueuing as soon as a finished rung crossed min_matches.
+        # MEASURED CAUTION (PROFILE_ladder.json, r4): on the tunneled
+        # single-chip runtime, deep async queues collapse throughput
+        # (216 s/pair free-running vs 9.6 s with per-rung syncs) — use
+        # "sync" there; "pipelined"/"async" help only on runtimes whose
+        # dispatch queue degrades gracefully.
         self.stop_mode = stop_mode
 
     def _sync(self, x):
