@@ -170,6 +170,22 @@ class FreakParams:
 
 
 @dataclass(frozen=True)
+class CnnParams:
+    """reference CaffeDescriptorParams (descriptors_parameters.hpp:39-68)
+    re-cut for the TPU conv-stack descriptor (descriptors/cnn.py):
+    WeightsFile -> weights_file (.npz), LayerName/ProtoTxt are absorbed
+    by the fixed head, Normalization and the patch geometry carry over.
+    """
+    weights_file: str = ""          # empty -> procedural default bank
+    patch_size: int = 32
+    mr_size: float = 12.0
+    dim: int = 128
+    normalization: str = "L2"       # L2 | L1 | RootL2 | none
+    mean_gray: float = (104.0 + 117.0 + 123.0) / 3.0
+    do_sift_like_orientation: bool = True
+
+
+@dataclass(frozen=True)
 class DaisyParams:
     """reference DAISYParams (descriptors/daisydescriptor.hpp):
     rad/radq/thq/histq in daisy's naming = radius / n rings / ring
@@ -358,9 +374,14 @@ class CapacityParams:
     #                             windowed SMM resampling dominates
     #                             detection cost
     per_view: int = 2048       # detected regions per synthetic view
-    per_group: int = 2048      # compacted regions per view GROUP — the
+    per_group: int = 768       # compacted regions per view GROUP — the
     #                            orient/describe row count (pipeline
-    #                            stage-1/2 compaction)
+    #                            stage-1/2 compaction).  Sized from
+    #                            measured CVIU-ladder cat-pair appends
+    #                            (max 440 rows/group, diag r4) with 1.7x
+    #                            headroom; patch sampling scales with it.
+    #                            RAISE for FixedRegNumber workloads
+    #                            (WxBS TILDE uses 3000 regions/view).
     per_image: int = 8192      # regions per image after view concat
     max_angles: int = 4        # orientation peaks kept per region
     tentatives: int = 2048     # tentative correspondences

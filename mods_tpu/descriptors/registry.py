@@ -59,6 +59,9 @@ REGISTRY: dict[str, DescriptorSpec] = {
     "FREAK": DescriptorSpec(name="FREAK", kind="patch", dim=512),
     "BRISK": DescriptorSpec(name="BRISK", kind="patch", dim=512),
     "MROGH": DescriptorSpec(name="MROGH", kind="patch", dim=144),
+    # the reference's Caffe CNN slot (imagerepresentation.cpp:1343-1534)
+    # as a batched conv stack over extracted patches (descriptors/cnn.py)
+    "CNN": DescriptorSpec(name="CNN", kind="cnn", dim=128),
 }
 
 
@@ -115,4 +118,12 @@ def spec_for(name: str, cfg=None) -> DescriptorSpec:
     if name == "Pixels":
         return dataclasses.replace(
             base, params=(("norm_type", cfg.pixels.norm_type),))
+    if name == "CNN":
+        c = cfg.cnn
+        return dataclasses.replace(
+            base, dim=c.dim,
+            params=(("weights_file", c.weights_file),
+                    ("patch_size", c.patch_size),
+                    ("mr_size", c.mr_size),
+                    ("normalization", c.normalization)))
     return base

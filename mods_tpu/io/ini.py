@@ -255,6 +255,16 @@ def parse_descriptor_sections(ini: dict) -> dict:
         n_multi_region=int(g("nMultiRegion", 3)))
     g, gb, gs = _sec_reader(ini, "PixelDescriptor")
     out["pixels"] = PixelsParams(norm_type=gs("normType", "L2"))
+    # GetCaffePars (io_mods.cpp:467-485); WeightsFile carries over as the
+    # .npz path of the TPU conv stack (descriptors/cnn.py)
+    from mods_tpu.config import CnnParams
+    g, gb, gs = _sec_reader(ini, "CaffeDescriptor")
+    out["cnn"] = CnnParams(
+        weights_file=gs("WeightsFile", ""),
+        patch_size=int(g("patchSize", 32)),
+        mr_size=g("mrSize", 12.0),
+        normalization=gs("Normalization", "L2"),
+        do_sift_like_orientation=gb("DoSIFTLikeOrientation", True))
     return out
 
 

@@ -70,13 +70,9 @@ def _conv1d(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
     return y.reshape(lead + y.shape[-2:])
 
 
-def _band_matrix_rt(n: int, sigma: jax.Array, radius: int) -> jax.Array:
-    """(n, n) replicate-border Gaussian band matrix built IN-GRAPH from a
-    traced sigma — so one compiled render program serves every view
-    group's anti-alias blur (sigmas vary per tilt/zoom;
-    synth-detection.cpp:349-363).  Tap support is the reference's
-    ``int(6*sigma+1)`` odd window, zero-padded to the static 2*radius+1
-    band."""
+def _taps_rt(sigma: jax.Array, radius: int) -> jax.Array:
+    """(2*radius+1,) Gaussian taps from a TRACED sigma, windowed to the
+    reference's ``int(6*sigma+1)`` odd support (taps outside are zero)."""
     sigma = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-6)
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     size = jnp.floor(6.0 * sigma + 1.0)
@@ -85,14 +81,30 @@ def _band_matrix_rt(n: int, sigma: jax.Array, radius: int) -> jax.Array:
     half = (size - 1.0) / 2.0
     taps = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
     taps = jnp.where(jnp.abs(x) <= half, taps, 0.0)
-    taps = taps / jnp.sum(taps)
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
-    M = jnp.zeros((n, n), jnp.float32)
-    for k in range(2 * radius + 1):
-        j = jnp.clip(rows + (k - radius), 0, n - 1)
-        M = M + jnp.where(cols == j, taps[k], 0.0)
-    return M
+    return taps / jnp.sum(taps)
+
+
+def _shift_blur(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
+    """Replicate-border 1-D blur along `axis` as a shift-and-add sum:
+    out = Σ_k taps[k] · img shifted by (k - r).
+
+    O(taps · H · W) elementwise work on the VPU — the previous dense
+    (n, n) band-matrix matmul did O(n · H · W), ~40-100x more FLOPs at
+    canvas sizes, and profiled as the Synth/Detect phase floor
+    (PROFILE_ladder.json r4: Synth 5.1 s vs reference 1.2 s).  XLA fuses
+    the shifted adds into a few passes; taps may be traced values."""
+    r = taps.shape[0] // 2
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode="edge")
+    out = None
+    for k in range(taps.shape[0]):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(k, k + n)
+        term = taps[k] * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
 # static band radius for the runtime-sigma blur: covers int(6*sigma+1)
@@ -105,15 +117,10 @@ def gaussian_blur_rt(img: jax.Array, sigma_x: jax.Array,
                      sigma_y: jax.Array,
                      radius: int = RT_BLUR_RADIUS) -> jax.Array:
     """Anisotropic replicate-border blur of (..., H, W) with TRACED
-    sigmas, as two banded matmuls (MXU path)."""
-    h, w = img.shape[-2], img.shape[-1]
-    My = _band_matrix_rt(h, sigma_y, radius)
-    Mx = _band_matrix_rt(w, sigma_x, radius)
-    out = jnp.einsum("ij,...jk->...ik", My, img,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("...ij,kj->...ik", out, Mx,
-                     preferred_element_type=jnp.float32)
-    return out
+    sigmas (one compiled program serves every view group's anti-alias
+    blur; sigmas vary per tilt/zoom, synth-detection.cpp:349-363)."""
+    out = _shift_blur(img, _taps_rt(sigma_y, radius), axis=-2)
+    return _shift_blur(out, _taps_rt(sigma_x, radius), axis=-1)
 
 
 def gaussian_blur(img: jax.Array, sigma: float,
@@ -123,22 +130,17 @@ def gaussian_blur(img: jax.Array, sigma: float,
     ``sigma_y`` enables the anisotropic anti-alias blur used by view
     synthesis (reference synth-detection.cpp:404-414).
 
-    On accelerators this runs as two banded matmuls (MXU path); the CPU
-    test backend keeps the cheaper sliding conv.
+    Static-sigma path: shift-and-add with exactly the reference's
+    ``int(6*sigma+1)`` sampled taps (helpers.cpp gaussianBlur); the CPU
+    test backend uses the sliding conv (same taps, same result).
     """
     if sigma_y is None:
         sigma_y = sigma
+    kx = jnp.asarray(gauss_kernel_1d(float(sigma)))
+    ky = jnp.asarray(gauss_kernel_1d(float(sigma_y)))
     if jax.default_backend() == "cpu":
-        kx = jnp.asarray(gauss_kernel_1d(float(sigma)))
-        ky = jnp.asarray(gauss_kernel_1d(float(sigma_y)))
         out = _conv1d(img, ky, axis=-2)
         out = _conv1d(out, kx, axis=-1)
         return out
-    h, w = img.shape[-2], img.shape[-1]
-    My = jnp.asarray(blur_band_matrix(h, float(sigma_y)))
-    Mx = jnp.asarray(blur_band_matrix(w, float(sigma)))
-    out = jnp.einsum("ij,...jk->...ik", My, img,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("...ij,kj->...ik", out, Mx,
-                     preferred_element_type=jnp.float32)
-    return out
+    out = _shift_blur(img, ky, axis=-2)
+    return _shift_blur(out, kx, axis=-1)

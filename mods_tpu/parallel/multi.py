@@ -40,9 +40,11 @@ def _batched_group_program(P: int, V: int, h0: int, w0: int, hr: int,
     base = _fused_group_program.__wrapped__(
         V, h0, w0, hr, wr, hc, wc, do_blur, identity, det, specs, cfg)
     # __wrapped__ gives the jitted program; vmap composes fine with it
-    # axes: (img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn, hinv)
+    # axes: (img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn,
+    #        hinv, stores) — stores carry a leading gallery axis
     return jax.jit(jax.vmap(
-        base, in_axes=(0, 0, None, None, None, 0, None, 0)))
+        base, in_axes=(0, 0, None, None, None, 0, None, 0, 0)),
+        donate_argnums=(8,))
 
 
 @functools.lru_cache(maxsize=128)
@@ -56,37 +58,32 @@ def _batched_hostdet_program(P: int, V: int, h0: int, w0: int, hr: int,
     base = _fused_hostdet_program.__wrapped__(
         V, h0, w0, hr, wr, hc, wc, do_blur, identity, K, specs, cfg)
     # axes: (img, rot_inv, squash_inv, sig_x, sig_y, valid_hw,
-    #        regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv)
+    #        regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv,
+    #        stores)
     return jax.jit(jax.vmap(
-        base, in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0)))
-
-
-@functools.lru_cache(maxsize=64)
-def _batched_append_program(P: int, C: int, cap: int, dim: int):
-    from mods_tpu.pipeline import _append_program
-    base = _append_program.__wrapped__(C, cap, dim)
-    return jax.jit(jax.vmap(base), donate_argnums=(0, 1, 2, 3, 4))
+        base, in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)),
+        donate_argnums=(12,))
 
 
 class BatchedDeviceStore:
-    """DeviceStore with a leading gallery axis (P, cap, ...)."""
+    """DeviceStore with a leading gallery axis (P, cap, ...); appends
+    are folded into the batched group programs (donated buffers)."""
 
-    def __init__(self, P: int, cap: int, dim: int):
+    def __init__(self, P: int, cap: int, dim: int, shard=None):
         self.P, self.cap, self.dim = P, cap, dim
-        self._xy = jnp.zeros((P, cap, 2), jnp.float32)
-        self._A = jnp.zeros((P, cap, 2, 2), jnp.float32)
-        self._s = jnp.zeros((P, cap), jnp.float32)
-        self._r = jnp.zeros((P, cap), jnp.float32)
-        self._d = jnp.zeros((P, cap, dim), jnp.float32)
-        self._n = jnp.zeros((P,), jnp.int32)
+        shard = shard or (lambda x: x)
+        self._xy = shard(jnp.zeros((P, cap, 2), jnp.float32))
+        self._A = shard(jnp.zeros((P, cap, 2, 2), jnp.float32))
+        self._s = shard(jnp.zeros((P, cap), jnp.float32))
+        self._r = shard(jnp.zeros((P, cap), jnp.float32))
+        self._d = shard(jnp.zeros((P, cap, dim), jnp.float32))
+        self._n = shard(jnp.zeros((P,), jnp.int32))
 
-    def append(self, part: dict) -> None:
-        prog = _batched_append_program(self.P, part["xy"].shape[1],
-                                       self.cap, self.dim)
-        (self._xy, self._A, self._s, self._r, self._d, self._n) = prog(
-            self._xy, self._A, self._s, self._r, self._d, self._n,
-            part["xy"], part["A"], part["s"], part["response"],
-            part["desc"], part["n"])
+    def buffers(self):
+        return (self._xy, self._A, self._s, self._r, self._d, self._n)
+
+    def set_buffers(self, bufs) -> None:
+        (self._xy, self._A, self._s, self._r, self._d, self._n) = bufs
 
     def device_arrays(self):
         return self._xy, self._A, self._s, self._d, self._n
@@ -171,6 +168,16 @@ class MultiMatcher:
                 "serial path")
         host_stage = not self.qmatcher._device_det(it.detector)
         P_n = imgs.shape[0]
+        specs = self.qmatcher._specs(it)
+        sts = []
+        for sp in specs:
+            key = (it.detector, sp.name)
+            st = stores.get(key)
+            if st is None:
+                stores[key] = st = BatchedDeviceStore(
+                    P_n, cfg.caps.per_image, sp.dim,
+                    shard=self._shard_pair)
+            sts.append(st)
         views, prev_views = synthesis.expand_views(it, prev_views)
         # per-image plans (sizes differ); groups are size-independent
         plans_per_img = [[synthesis.plan_view(v, w, h) for v in views]
@@ -245,7 +252,8 @@ class MultiMatcher:
                         self._shard_pair(jnp.asarray(regs["s"])),
                         self._shard_pair(jnp.asarray(regs["response"])),
                         self._shard_pair(jnp.asarray(regs["mask"])),
-                        self._shard_pair(jnp.asarray(hinv)))
+                        self._shard_pair(jnp.asarray(hinv)),
+                        tuple(st.buffers() for st in sts))
             else:
                 prog = _batched_group_program(
                     P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
@@ -259,14 +267,10 @@ class MultiMatcher:
                         self._shard_pair(jnp.asarray(valid_hw)),
                         self.qmatcher._region_budgets(pgroups[0],
                                                       it.detector, Vb),
-                        self._shard_pair(jnp.asarray(hinv)))
-            for name, d in out.items():
-                key = (it.detector, name)
-                st = stores.get(key)
-                if st is None:
-                    stores[key] = st = BatchedDeviceStore(
-                        P_n, cfg.caps.per_image, spec_for(name, cfg).dim)
-                st.append(d)
+                        self._shard_pair(jnp.asarray(hinv)),
+                        tuple(st.buffers() for st in sts))
+            for st, bufs in zip(sts, out):
+                st.set_buffers(bufs)
         return prev_views
 
     def match(self, query_img, gallery_imgs: list,

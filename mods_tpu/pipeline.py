@@ -25,7 +25,7 @@ import numpy as np
 
 from mods_tpu import synthesis
 from mods_tpu.config import (AffineShapeParams, BriskDetParams,
-                             CapacityParams, DaisyParams,
+                             CapacityParams, CnnParams, DaisyParams,
                              DominantOrientationParams, FastParams,
                              FreakParams, IterationParams, LiopParams,
                              MatchParams, MatchPlan, MroghParams,
@@ -114,6 +114,7 @@ class EngineConfig:
     ssim: SsimParams = SsimParams()
     mrogh: MroghParams = MroghParams()
     pixels: PixelsParams = PixelsParams()
+    cnn: CnnParams = CnnParams()
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
@@ -178,30 +179,12 @@ class FeatureStore:
         return xy, A, s, desc, mask
 
 
-@functools.lru_cache(maxsize=64)
-def _append_program(C: int, cap: int, dim: int):
-    """Scatter a front-compacted (C, ...) slab into fixed (cap, ...)
-    feature buffers at offset ``count`` — rows past the capacity are
-    dropped (the reference's region budget behaves the same way,
-    scale-space-detector.cpp:50-51)."""
-    def program(bxy, bA, bs, br, bd, cnt, xy, A, s, r, d, n):
-        pos = cnt + jnp.arange(C, dtype=jnp.int32)
-        pos = jnp.where((jnp.arange(C) < n) & (pos < cap), pos, cap)
-        bxy = bxy.at[pos].set(xy, mode="drop")
-        bA = bA.at[pos].set(A, mode="drop")
-        bs = bs.at[pos].set(s, mode="drop")
-        br = br.at[pos].set(r, mode="drop")
-        bd = bd.at[pos].set(d, mode="drop")
-        return bxy, bA, bs, br, bd, jnp.minimum(cnt + n, cap)
-
-    return jax.jit(program, donate_argnums=(0, 1, 2, 3, 4))
-
-
 class DeviceStore:
     """Device-resident fixed-capacity feature store of one image for one
     (detector, descriptor) — the TPU redesign of the reference's
-    ImageRepresentation slot (imagerepresentation.h:66).  Appends and
-    reads are compiled programs; nothing crosses to the host until a
+    ImageRepresentation slot (imagerepresentation.h:66).  Appends happen
+    INSIDE the fused group programs (the store buffers ride along as
+    donated inputs/outputs); nothing crosses to the host until a
     consumer explicitly asks (``.xy``/``.count`` properties)."""
 
     def __init__(self, cap: int, dim: int):
@@ -214,12 +197,18 @@ class DeviceStore:
         self._d = jnp.zeros((cap, dim), jnp.float32)
         self._n = jnp.zeros((), jnp.int32)
 
-    def append(self, part: dict) -> None:
-        prog = _append_program(part["xy"].shape[0], self.cap, self.dim)
-        (self._xy, self._A, self._s, self._r, self._d, self._n) = prog(
-            self._xy, self._A, self._s, self._r, self._d, self._n,
-            part["xy"], part["A"], part["s"], part["response"],
-            part["desc"], part["n"])
+    def buffers(self):
+        """(xy, A, s, r, d, count) — the fold-in append layout."""
+        return (self._xy, self._A, self._s, self._r, self._d, self._n)
+
+    def set_buffers(self, bufs) -> None:
+        (self._xy, self._A, self._s, self._r, self._d, self._n) = bufs
+
+    def reset(self) -> None:
+        """New pair: rewind the count.  Buffer contents past the count
+        are never read (every consumer masks by the count prefix), so
+        the slabs themselves are reused without reallocation."""
+        self._n = jnp.zeros((), jnp.int32)
 
     def device_arrays(self):
         """(xy, A, s, desc, count) — all on device."""
@@ -339,7 +328,7 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
     families = sorted({fam_key(sp) for sp in specs})
 
     def program(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
-                regs_mask, hinv):
+                regs_mask, hinv, stores):
         from mods_tpu.descriptors.describe import (DESC_MIP_LEVELS,
                                                    aa_filter_patches)
         from mods_tpu.descriptors.orientation import (find_peaks,
@@ -471,6 +460,7 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
             need_pix = any(sp.kind == "pixels" for sp in fam_specs)
             need_bin = any(sp.kind == "binary" for sp in fam_specs)
             need_patch = any(sp.kind == "patch" for sp in fam_specs)
+            need_cnn = any(sp.kind == "cnn" for sp in fam_specs)
 
             def desc_patches(scale_coef=1.0):
                 t = image_to_patch_scale(sv * scale_coef, pe_mr, pe_patch)
@@ -494,6 +484,28 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 for sp in fam_specs:
                     if sp.kind == "binary":
                         res[sp.name] = bits
+            if need_cnn:
+                # CNN slot: own patch geometry (CaffeDescParam.mrSize/
+                # patchSize), batched conv forward on the MXU
+                from mods_tpu.descriptors.cnn import (cnn_forward,
+                                                      weights_for)
+                for sp in fam_specs:
+                    if sp.kind != "cnn":
+                        continue
+                    pp = dict(sp.params) or dict(
+                        weights_file="", patch_size=32, mr_size=12.0,
+                        normalization="L2")
+                    Pc = int(pp["patch_size"])
+                    tc = image_to_patch_scale(sv, float(pp["mr_size"]),
+                                              Pc)
+                    As_c = Av * tc[:, None, None]
+                    lvl_c, sc_c = select_level(As_c, Pc, L)
+                    pc = sample_affine_patches(
+                        src, vi * L + lvl_c, xyv / sc_c[:, None],
+                        As_c / sc_c[:, None, None], Pc, hw_flat)
+                    res[sp.name] = cnn_forward(
+                        pc, weights_for(pp["weights_file"], Pc, sp.dim),
+                        pp["normalization"])
             if need_hist or need_pix or need_patch:
                 patches = desc_patches()
                 if need_patch:
@@ -538,15 +550,29 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                                                keepdims=True))
                     res["Pixels"] = flat / jnp.maximum(nrm, 1e-6)
 
-            zero = jnp.zeros_like(sv)
             for sp in fam_specs:
-                d = jnp.where(m2[:, None], res[sp.name], 0.0)
-                out[sp.name] = dict(
-                    desc=d, xy=jnp.where(m2[:, None], xy_r, 0.0),
-                    A=jnp.where(m2[:, None, None], A_r, 0.0),
-                    s=jnp.where(m2, sv, zero),
-                    response=jnp.where(m2, rv, zero), n=n2)
-        return out
+                out[sp.name] = (xy_r, A_r, sv, rv, res[sp.name], n2)
+
+        # APPEND FOLDED IN: scatter each spec's compacted rows into its
+        # (donated) fixed-capacity store buffers at offset count — the
+        # standalone _append_program dispatch per (spec, group) was 30 ms
+        # of pure tunnel overhead x 40 calls/pair (PROFILE_ladder.json).
+        new_stores = []
+        for i, sp in enumerate(specs):
+            xyv, Av_, sv_, rv_, dv_, n2 = out[sp.name]
+            bxy, bA, bs, br, bd, cnt = stores[i]
+            C = xyv.shape[0]
+            cap = bxy.shape[0]
+            pos = cnt + jnp.arange(C, dtype=jnp.int32)
+            pos = jnp.where((jnp.arange(C) < n2) & (pos < cap), pos, cap)
+            new_stores.append((
+                bxy.at[pos].set(xyv, mode="drop"),
+                bA.at[pos].set(Av_, mode="drop"),
+                bs.at[pos].set(sv_, mode="drop"),
+                br.at[pos].set(rv_, mode="drop"),
+                bd.at[pos].set(dv_, mode="drop"),
+                jnp.minimum(cnt + n2, cap)))
+        return tuple(new_stores)
 
     return program
 
@@ -557,7 +583,8 @@ def _desc_program(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                   pe_mr: float, pe_patch: int, pe_photo: bool,
                   caps: CapacityParams):
     return jax.jit(_make_desc_fn(V, hc, wc, h0, w0, K, specs, dom_ori,
-                                 pe_mr, pe_patch, pe_photo, caps))
+                                 pe_mr, pe_patch, pe_photo, caps),
+                   donate_argnums=(8,))
 
 
 # detectors that run fully on device (the rest — MSER, ReadAffs — need a
@@ -644,13 +671,15 @@ def _fused_group_program(V: int, h0: int, w0: int, hr: int, wr: int,
                          pe.photo_norm, cfg.caps)
 
     def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn,
-                hinv):
+                hinv, stores):
         views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
         regs = detect(views, valid_hw, regn)
         return desc(views, valid_hw, regs.xy, regs.A, regs.s,
-                    regs.response, regs.mask, hinv)
+                    regs.response, regs.mask, hinv, stores)
 
-    return jax.jit(program)
+    # the store buffers are donated: each group's dispatch scatters its
+    # regions in place and hands the buffers to the next group
+    return jax.jit(program, donate_argnums=(8,))
 
 
 @functools.lru_cache(maxsize=128)
@@ -671,12 +700,13 @@ def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
                          cfg.caps)
 
     def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw,
-                regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv):
+                regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv,
+                stores):
         views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
         return desc(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
-                    regs_mask, hinv)
+                    regs_mask, hinv, stores)
 
-    return jax.jit(program)
+    return jax.jit(program, donate_argnums=(12,))
 
 
 @functools.lru_cache(maxsize=64)
@@ -1099,6 +1129,17 @@ class TwoViewMatcher:
         new_prev, preps = self._prep_groups(it, h, w, prev_views)
         img_j = jnp.asarray(img) if img_dev is None else img_dev
         pe = cfg.sift.patch_extraction
+        # stores ride through the group programs as donated buffers, in
+        # spec order (append folded into the programs)
+        specs = self._specs(it)
+        sts = []
+        for sp in specs:
+            key = (it.detector, sp.name)
+            st = stores.get(key)
+            if st is None:
+                stores[key] = st = DeviceStore(cfg.caps.per_image,
+                                               sp.dim)
+            sts.append(st)
         for gp in preps:
             # Host-stage detectors (host-backend MSER, ReadAffs):
             # keypoints computed on the host over host-rendered views;
@@ -1121,7 +1162,8 @@ class TwoViewMatcher:
                         jnp.asarray(regs["A"]),
                         jnp.asarray(regs["s"]),
                         jnp.asarray(regs["response"]),
-                        jnp.asarray(regs["mask"]), gp["hinv"])
+                        jnp.asarray(regs["mask"]), gp["hinv"],
+                        tuple(st.buffers() for st in sts))
                     self._sync(out)
             # fused single-dispatch path for device detectors; the split
             # path remains for sync_timing runs that want the
@@ -1131,7 +1173,8 @@ class TwoViewMatcher:
                     out = gp["program"](
                         img_j, gp["rot_inv"], gp["squash_inv"],
                         gp["sig_x"], gp["sig_y"], gp["valid_hw"],
-                        gp["regn"], gp["hinv"])
+                        gp["regn"], gp["hinv"],
+                        tuple(st.buffers() for st in sts))
             else:
                 render = _render_program(
                     gp["Vb"], h, w, gp["hr"], gp["wr"], gp["hc"],
@@ -1152,15 +1195,11 @@ class TwoViewMatcher:
                 with log.phase("DescTime"):
                     out = dp(views_arr, gp["valid_hw"], regs.xy, regs.A,
                              regs.s, regs.response, regs.mask,
-                             gp["hinv"])
+                             gp["hinv"],
+                             tuple(st.buffers() for st in sts))
                     self._sync(out)
-            for name, d in out.items():
-                key = (it.detector, name)
-                st = stores.get(key)
-                if st is None:
-                    stores[key] = st = DeviceStore(
-                        cfg.caps.per_image, spec_for(name, cfg).dim)
-                st.append(d)
+            for st, bufs in zip(sts, out):
+                st.set_buffers(bufs)
         return new_prev
 
     # -- matching ----------------------------------------------------------
@@ -1315,8 +1354,14 @@ class TwoViewMatcher:
         g1_dev = jnp.asarray(g1)
         g2_dev = jnp.asarray(g2)
         self._bank = {}
-        stores1: dict = {}
-        stores2: dict = {}
+        # store pooling: buffers persist across pairs (only the counts
+        # rewind), so a steady-state pair allocates nothing
+        if not hasattr(self, "_stores"):
+            self._stores = ({}, {})
+        for side in self._stores:
+            for st in side.values():
+                st.reset()
+        stores1, stores2 = self._stores
         prev1: dict = {}      # per-detector accumulated synth views
         prev2: dict = {}
         steps = 0

@@ -126,3 +126,26 @@ def test_masks():
     g = gauss_mask(19)
     assert g[9, 9] == 1.0
     assert g[0, 0] > 0
+
+
+def test_shift_blur_matches_conv():
+    """The TPU shift-and-add blur path must equal the CPU sliding conv
+    (same reference taps) — it replaced the dense band-matrix matmul."""
+    from mods_tpu.ops.gaussian import (_conv1d, _shift_blur, _taps_rt,
+                                       gauss_kernel_1d)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 37, 53)).astype(np.float32))
+    for sigma in (0.8, 1.6, 3.2):
+        k = jnp.asarray(gauss_kernel_1d(sigma))
+        for ax in (-1, -2):
+            a = _conv1d(img, k, axis=ax)
+            b = _shift_blur(img, k, axis=ax)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+    # runtime-sigma taps agree with the static kernel (padded window)
+    for sigma in (0.9, 2.5):
+        t = np.asarray(_taps_rt(jnp.float32(sigma), 15))
+        k = gauss_kernel_1d(sigma)
+        r = 15 - len(k) // 2
+        np.testing.assert_allclose(t[r:r + len(k)], k, atol=1e-5)
+        assert abs(t.sum() - 1.0) < 1e-5
