@@ -329,6 +329,9 @@ class MultiMatcher:
             if out is None:
                 continue
             last_out = out
+            # block the whole output before any host read (partial reads
+            # degrade the tunnel session to ~26 ms/dispatch)
+            jax.block_until_ready(out)
             counts = np.asarray(out["n_inl"])[:P_real]
             matched = counts >= cfg.min_matches
             if (stop_at_first and matched.any()) or matched.all():

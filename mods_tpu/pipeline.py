@@ -217,6 +217,9 @@ class DeviceStore:
     # host views (CLI export paths and tests only — these synchronize)
     @property
     def count(self) -> int:
+        # block ALL buffers before the scalar read: a partial read of a
+        # program's outputs degrades the tunnel session permanently
+        jax.block_until_ready(self.buffers())
         return int(self._n)
 
     @property
@@ -733,46 +736,71 @@ def _match_pair_program(n1: int, n2: int, cap: int, D: int, knn: int,
     correspondencebank.cpp:248-288).  Emits fixed-shape tentative parts
     with the image-2 endpoints already gathered, so nothing returns to
     the host."""
-    from mods_tpu.matching.fginn import match_distance
-
     def program(parts1, parts2, ratio, dist_thr, *db):
-        def pool(parts):
-            xy = jnp.concatenate([p[0] for p in parts])
-            A = jnp.concatenate([p[1] for p in parts])
-            s = jnp.concatenate([p[2] for p in parts])
-            d = jnp.concatenate([p[3] for p in parts])
-            m = jnp.concatenate([jnp.arange(cap) < p[4] for p in parts])
-            return xy, A, s, d, m
-
-        xy1, A1, s1, d1, m1 = pool(parts1)
-        xy2, A2, s2, d2, m2 = pool(parts2)
-
-        def finish(t):
-            if dup_mode == "fginn":
-                prio = t.ratio
-            elif dup_mode == "distance":
-                prio = t.d1
-            elif dup_mode == "bigger_region":
-                prio = -s1
-            else:
-                prio = jnp.arange(xy1.shape[0], dtype=jnp.float32)
-            return dict(xy1=xy1, A1=A1, s1=s1, xy2=xy2[t.idx2],
-                        A2=A2[t.idx2], s2=s2[t.idx2], prio=prio,
-                        mask=t.mask)
-
-        outs = []
-        if run_fginn:
-            t = match_fginn(d1, m1, d2, m2, xy2, ratio, contrad, knn,
-                            standard_2nd=standard_2nd,
-                            db=(db if with_db else None))
-            outs.append(finish(t))
-        if run_dist:
-            t = match_distance(d1, m1, d2, m2, dist_thr,
-                               squared_threshold=binary)
-            outs.append(finish(t))
-        return outs
+        return _pool_match_parts(
+            parts1, parts2, ratio, dist_thr,
+            db if with_db else None, cap, knn, contrad, dup_mode,
+            run_fginn, run_dist, binary, standard_2nd)
 
     return jax.jit(program)
+
+
+def _pool_match_parts(parts1, parts2, ratio, dist_thr, db, cap, knn,
+                      contrad, dup_mode, run_fginn, run_dist, binary,
+                      standard_2nd):
+    """Traced body of one matching step over pooled store parts (shared
+    by the per-rung program and the monolith ladder program)."""
+    from mods_tpu.matching.fginn import match_distance
+
+    def pool(parts):
+        xy = jnp.concatenate([p[0] for p in parts])
+        A = jnp.concatenate([p[1] for p in parts])
+        s = jnp.concatenate([p[2] for p in parts])
+        d = jnp.concatenate([p[3] for p in parts])
+        m = jnp.concatenate([jnp.arange(cap) < p[4] for p in parts])
+        return xy, A, s, d, m
+
+    xy1, A1, s1, d1, m1 = pool(parts1)
+    xy2, A2, s2, d2, m2 = pool(parts2)
+
+    def finish(t):
+        if dup_mode == "fginn":
+            prio = t.ratio
+        elif dup_mode == "distance":
+            prio = t.d1
+        elif dup_mode == "bigger_region":
+            prio = -s1
+        else:
+            prio = jnp.arange(xy1.shape[0], dtype=jnp.float32)
+        return dict(xy1=xy1, A1=A1, s1=s1, xy2=xy2[t.idx2],
+                    A2=A2[t.idx2], s2=s2[t.idx2], prio=prio,
+                    mask=t.mask)
+
+    outs = []
+    if run_fginn:
+        t = match_fginn(d1, m1, d2, m2, xy2, ratio, contrad, knn,
+                        standard_2nd=standard_2nd, db=db)
+        outs.append(finish(t))
+    if run_dist:
+        t = match_distance(d1, m1, d2, m2, dist_thr,
+                           squared_threshold=binary)
+        outs.append(finish(t))
+    return outs
+
+
+def _concat_compact_parts(parts, tcap: int):
+    """Concatenate tentative parts and compact the masked rows to the
+    tentative capacity (GetCorresponcesVector, mods.cpp:298)."""
+    keys_ = ("xy1", "A1", "s1", "xy2", "A2", "s2", "prio")
+    mask_all = jnp.concatenate([p["mask"] for p in parts])
+    idx = jnp.nonzero(mask_all, size=tcap,
+                      fill_value=mask_all.shape[0])[0]
+    comb = {k: jnp.take(jnp.concatenate([p[k] for p in parts]), idx,
+                        axis=0, mode="fill", fill_value=0)
+            for k in keys_}
+    n = jnp.minimum(jnp.sum(mask_all.astype(jnp.int32)), tcap)
+    comb["mask"] = jnp.arange(tcap) < n
+    return comb
 
 
 def _verify_core(cfg: EngineConfig, w: int, h: int, xy1, A1, s1, xy2, A2,
@@ -817,18 +845,8 @@ def _verify_bank_program(row_counts: tuple, tcap: int, cfg: EngineConfig,
     compaction to the tentative capacity -> duplicate filter ->
     verification — ONE program per rung, so the rung's only host sync is
     reading its match count."""
-    keys_ = ("xy1", "A1", "s1", "xy2", "A2", "s2", "prio")
-
     def concat_compact(parts):
-        mask_all = jnp.concatenate([p["mask"] for p in parts])
-        idx = jnp.nonzero(mask_all, size=tcap,
-                          fill_value=mask_all.shape[0])[0]
-        comb = {k: jnp.take(jnp.concatenate([p[k] for p in parts]), idx,
-                            axis=0, mode="fill", fill_value=0)
-                for k in keys_}
-        n = jnp.minimum(jnp.sum(mask_all.astype(jnp.int32)), tcap)
-        comb["mask"] = jnp.arange(tcap) < n
-        return comb
+        return _concat_compact_parts(parts, tcap)
 
     if gt_mode:
         def program(parts, key, gt_h):
@@ -892,7 +910,16 @@ class TwoViewMatcher:
 
     def __init__(self, ladder: list[IterationParams] | None = None,
                  cfg: EngineConfig = EngineConfig(), seed: int = 0,
-                 sync_timing: bool = False, stop_mode: str = "sync"):
+                 sync_timing: bool = False, stop_mode: str = "sync",
+                 monolith: bool = False):
+        # monolith=True compiles the WHOLE ladder (both images, all
+        # rungs, matching, verification, early stop) into ONE program
+        # (mods_tpu/monolith.py) — the serving path for the tunneled
+        # runtime, where every dispatch costs ~26-100 ms of fixed
+        # overhead.  The per-group path remains for timing attribution,
+        # incremental CLI flows, and as the flexible fallback.
+        self.monolith = monolith
+        self._monolith_cache: dict = {}
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
         self.key = jax.random.PRNGKey(seed)
@@ -1105,17 +1132,23 @@ class TwoViewMatcher:
                 program = _fused_hostdet_program(
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, cfg.caps.per_view, specs, cfg)
+            regn_np = np.asarray(
+                self._region_budgets(group, it.detector, Vb))
             preps.append(dict(
                 group=group, V=V, Vb=Vb, hr=hr, wr=wr, hc=hc, wc=wc,
                 identity=p0.identity, do_blur=p0.view.do_blur,
-                rot_inv_np=rot_inv,
+                # host copies: the monolith ladder program embeds these
+                # as closure constants (geometry is pair-invariant)
+                rot_inv_np=rot_inv, squash_np=squash_inv,
+                sig_np=(np.float32(p0.sigma_x), np.float32(p0.sigma_y)),
+                valid_np=valid_np, hinv_np=hinv, regn_np=regn_np,
                 rot_inv=jnp.asarray(rot_inv),
                 squash_inv=jnp.asarray(squash_inv),
                 sig_x=jnp.float32(p0.sigma_x),
                 sig_y=jnp.float32(p0.sigma_y),
                 valid_hw=jnp.asarray(valid_np),
                 hinv=jnp.asarray(hinv),
-                regn=self._region_budgets(group, it.detector, Vb),
+                regn=jnp.asarray(regn_np),
                 program=program))
         hit = (new_prev, preps)
         self._prep_cache[key] = hit
@@ -1333,6 +1366,63 @@ class TwoViewMatcher:
             self._sync(out)
         return out
 
+    # -- monolith serving path --------------------------------------------
+
+    def _monolith_program(self, shape1, shape2):
+        mkey = (shape1, shape2)
+        hit = self._monolith_cache.get(mkey)
+        if hit is not None:
+            return hit
+        from mods_tpu.monolith import build_ladder_program
+        fn, slab_spec = build_ladder_program(self, shape1, shape2)
+        hit = (jax.jit(fn), slab_spec)
+        self._monolith_cache[mkey] = hit
+        return hit
+
+    def _compute_slabs(self, slab_spec, imgs_np, log: TimeLog):
+        """Host-stage detections (MSER/ReadAffs) for every ladder slot,
+        as the monolith program's runtime inputs."""
+        slabs = []
+        for (r, det, im, gi) in slab_spec:
+            it = self._slab_its[(r, det)]
+            h, w = imgs_np[im].shape
+            _, preps = self._prep_groups(
+                it, h, w, self._slab_prev[(r, det, im)])
+            gp = preps[gi]
+            V, Vb = gp["V"], gp["Vb"]
+            regs = self._host_stage_regions(
+                det, imgs_np[im], gp["group"], gp["rot_inv_np"][:V],
+                gp["hr"], gp["wr"], gp["hc"], gp["wc"], log, im)
+            if Vb > V:
+                regs = {k: np.concatenate(
+                    [a, np.zeros((Vb - V,) + a.shape[1:], a.dtype)])
+                    for k, a in regs.items()}
+            slabs.append({k: jnp.asarray(v) for k, v in regs.items()})
+        return tuple(slabs)
+
+    def _match_monolith(self, g1, g2, gt_h, log: TimeLog) -> MatchResult:
+        cfg = self.cfg
+        prog, slab_spec = self._monolith_program(g1.shape, g2.shape)
+        with log.phase("DetectTime"):
+            slabs = self._compute_slabs(slab_spec, (g1, g2), TimeLog())
+        self.key, k = jax.random.split(self.key)
+        gt = jnp.asarray(gt_h if gt_h is not None else np.eye(3),
+                         jnp.float32)
+        out = prog(jnp.asarray(g1), jnp.asarray(g2), slabs, k, gt)
+        jax.block_until_ready(out)
+        log.finalize()
+        n_inl = int(out["n_inl"])
+        extras = {}
+        if cfg.ver_type == "GR_TRUTH" and cfg.do_both_ransac_gt:
+            extras = dict(ransac_matches=int(out["ransac_matches"]),
+                          ransac_true=int(out["ransac_true"]))
+        return MatchResult(
+            H=np.asarray(out["model"]),
+            xy1=np.asarray(out["xy1"])[:n_inl],
+            xy2=np.asarray(out["xy2"])[:n_inl],
+            n_matches=n_inl, n_tentatives=int(out["n_tent"]),
+            steps_used=int(out["steps_used"]), log=log, extras=extras)
+
     def match(self, img1, img2, gt_h=None) -> MatchResult:
         cfg = self.cfg
         self._gt_h = gt_h
@@ -1350,6 +1440,8 @@ class TwoViewMatcher:
                 g2 = clahe_np(g2, clip_limit=4.0)
         self._wh = (max(g1.shape[1], g2.shape[1]),
                     max(g1.shape[0], g2.shape[0]))
+        if self.monolith and not self.sync_timing:
+            return self._match_monolith(g1, g2, gt_h, log)
         # one upload per image per pair; every rung reuses these
         g1_dev = jnp.asarray(g1)
         g2_dev = jnp.asarray(g2)
@@ -1390,7 +1482,12 @@ class TwoViewMatcher:
             if self.stop_mode == "sync":
                 # the rung's only host sync: its (scalar) match count;
                 # dual GR_TRUTH mode stops on the RANSAC match count
-                # (mods.cpp:412-414)
+                # (mods.cpp:412-414).
+                # TUNNEL CAUTION (measured, r4): reading ONE output of a
+                # multi-output program while its siblings are pending
+                # permanently degrades the session to ~26 ms/dispatch —
+                # always block the WHOLE output before any host read.
+                jax.block_until_ready(out)
                 n_inl = int(out["n_inl"])
                 n_stop = (int(out["ransac_matches"])
                           if "ransac_matches" in out else n_inl)
@@ -1428,6 +1525,7 @@ class TwoViewMatcher:
                     [jnp.stack([o["n_inl"],
                                 o.get("ransac_matches", o["n_inl"])])
                      for _, o in outs])
+                jax.block_until_ready([o for _, o in outs])
                 counts = np.asarray(packed)
             inls = [int(c[0]) for c in counts]
             nstops = [int(c[1]) for c in counts]
@@ -1452,6 +1550,9 @@ class TwoViewMatcher:
         cprog = _compact_matches_program(tcap, tcap)
         cxy1, cxy2 = cprog(out["xy1_all"], out["xy2_all"],
                            out["inlier_mask"])
+        # block everything before the np.asarray reads (see tunnel
+        # caution above: partial reads poison the session)
+        jax.block_until_ready((cxy1, cxy2, out))
         return MatchResult(
             H=np.asarray(out["model"]),
             xy1=np.asarray(cxy1)[:n_inl], xy2=np.asarray(cxy2)[:n_inl],
