@@ -239,7 +239,9 @@ class MultiMatcher:
                     imgs, pgroups, rot_inv, hr, wr, hc, wc, Vb, log, it)
                 prog = _batched_hostdet_program(
                     P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
-                    p0.identity, cfg.caps.per_view,
+                    p0.identity,
+                    (cfg.mser.host_cap if it.detector == "MSER"
+                     else cfg.caps.per_view),
                     self.qmatcher._specs(it), cfg)
                 with log.phase("DescTime"):
                     out = prog(

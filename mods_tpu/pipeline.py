@@ -79,6 +79,11 @@ class MserParams:
     backend: str = "host"
     levels: int = 32
     passes: int = 3
+    # padded host-slab rows per view: real MSER yields <= ~300 regions
+    # per view on benchmark images; 512 keeps the per-pair host->device
+    # slab upload and the describe-stage slab width 4x smaller than the
+    # generic per_view cap
+    host_cap: int = 512
 
 
 @dataclass(frozen=True)
@@ -1044,6 +1049,7 @@ class TwoViewMatcher:
         if det == "MSER":
             from mods_tpu.detectors.mser import detect_msers_padded
             from mods_tpu.ops.host_render import render_group_np
+            cap = cfg.mser.host_cap
             valid_hw = np.asarray(
                 [[p.h_new, p.w_new] for p in group], np.int32)
             with log.phase("SynthTime"):
@@ -1059,7 +1065,8 @@ class TwoViewMatcher:
                 with ThreadPoolExecutor(max_workers=min(V, 8)) as ex:
                     outs = list(ex.map(
                         lambda v: detect_msers_padded(
-                            views_np[v], valid_hw[v], cfg.caps,
+                            views_np[v], valid_hw[v],
+                            replace(cfg.caps, per_view=cap),
                             min_size=cfg.mser.min_size,
                             max_area=cfg.mser.max_area,
                             min_margin=cfg.mser.min_margin), range(V)))
@@ -1129,9 +1136,11 @@ class TwoViewMatcher:
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, it.detector, specs, cfg)
             else:
+                host_k = (cfg.mser.host_cap if it.detector == "MSER"
+                          else cfg.caps.per_view)
                 program = _fused_hostdet_program(
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
-                    p0.identity, cfg.caps.per_view, specs, cfg)
+                    p0.identity, host_k, specs, cfg)
             regn_np = np.asarray(
                 self._region_budgets(group, it.detector, Vb))
             preps.append(dict(

@@ -20,14 +20,6 @@ cfg, ladder = _build_engine(f"{REF}/config_iter_mods_cviu.ini",
                             ver_type="LORANSACH")
 print("caps:", cfg.caps, flush=True)
 
-# (b) instrument append sizes
-append_ns = collections.defaultdict(list)
-orig_append = DeviceStore.append
-def counting_append(self, part):
-    append_ns[(part["xy"].shape[0], self.dim)].append(int(part["n"]))
-    return orig_append(self, part)
-DeviceStore.append = counting_append
-
 # (c) time the native MSER host stage
 from mods_tpu.detectors import mser as mser_mod
 orig_det = mser_mod.detect_msers_padded
@@ -52,7 +44,7 @@ for attempt in range(8):
         print("retry:", str(e)[:90], file=sys.stderr)
 print(f"warmup(split): {time.perf_counter()-t0:.1f} s "
       f"({res.n_matches} m, {res.steps_used} steps)", flush=True)
-append_ns.clear(); mser_t[0] = 0.0; mser_t[1] = 0
+mser_t[0] = 0.0; mser_t[1] = 0
 t0 = time.perf_counter()
 res = m.match(img1 + 0.25, img2 + 0.25)
 tot = time.perf_counter() - t0
@@ -60,7 +52,4 @@ print(f"steady(split,synced): {tot:.1f} s ({res.n_matches} m)")
 for k, v in sorted(res.log.times.items()):
     print(f"  {k:>14}: {v:8.2f} s")
 print(f"native MSER host detect: {mser_t[0]:.2f} s over {mser_t[1]} views")
-print("\nappend row-counts by (C_rows, desc_dim): n used / capacity")
-for k, v in sorted(append_ns.items()):
-    print(f"  C={k[0]:5d} dim={k[1]:4d}: calls={len(v)} max_n={max(v)} "
-          f"sum={sum(v)} counts={sorted(v, reverse=True)[:8]}")
+
