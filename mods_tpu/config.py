@@ -369,7 +369,7 @@ class CapacityParams:
     """Static capacities for fixed-shape TPU programs (no reference
     counterpart — the reference grows std::vectors dynamically)."""
     per_octave: int = 8192     # candidate extrema per octave per view
-    per_octave_baum: int = 512  # localized keypoints fed to Baumberg per
+    per_octave_baum: int = 256  # localized keypoints fed to Baumberg per
     #                             octave per view (strongest first) — its
     #                             windowed SMM resampling dominates
     #                             detection cost

@@ -134,9 +134,10 @@ def detect_affine_keypoints(imgs: jax.Array, valid_hw: jax.Array,
         pd = octv.pixel_distance
         vh = (valid_hw.astype(jnp.float32) / pd).astype(jnp.int32)
         # candidate capacity scales with octave area: extrema density on
-        # real images is well under 1 per 32 px
+        # real images is well under 1 per 64 px after NMS (localization
+        # gathers scale with this cap — it was a top-3 cost, op_bench r4)
         oh, ow = octv.blurs.shape[-2:]
-        cap = min(caps.per_octave, max(256, (oh * ow) // 32))
+        cap = min(caps.per_octave, max(256, (oh * ow) // 64))
         baum_cap = min(cap, caps.per_view, caps.per_octave_baum)
         f = jax.vmap(
             lambda b, r, hw: _detect_one_octave(

@@ -96,6 +96,94 @@ def affine_warp(img: jax.Array, inv_map: jax.Array, out_h: int, out_w: int,
     return bilinear_sample(img, sx, sy, fill=fill)
 
 
+def _shear_x(img: jax.Array, slope: jax.Array, off: jax.Array,
+             out_w: int, fill: float) -> jax.Array:
+    """out[r, c] = img[r, c + slope*r + off], bilinear along x.
+
+    The per-row offset makes this a batch of CONTIGUOUS dynamic slices —
+    the TPU-friendly access pattern (measured 6.5x faster than the
+    4-plane bilinear gather at canvas sizes; PROFILE_ladder.json r4)."""
+    H, W = img.shape
+    pad = out_w + 4
+    img_p = jnp.pad(img, ((0, 0), (pad, pad)), constant_values=fill)
+    r = jnp.arange(H, dtype=jnp.float32)
+    s = slope * r + off
+    o = jnp.floor(s)
+    w = (s - o)[:, None]
+    oi = jnp.clip(o.astype(jnp.int32) + pad, 0, W + 2 * pad - out_w - 1)
+
+    def row(rowvec, start):
+        return jax.lax.dynamic_slice(rowvec, (start,), (out_w + 1,))
+    segs = jax.vmap(row)(img_p, oi)
+    return segs[:, :-1] * (1.0 - w) + segs[:, 1:] * w
+
+
+def shear_rotate(img: jax.Array, rot_inv: jax.Array, out_h: int,
+                 out_w: int, fill: float = 128.0) -> jax.Array:
+    """Rotation warp as THREE x-shears (with transposes between), for a
+    2x3 inverse map whose linear part is a pure rotation.
+
+    Inverse-map composition (x-shear A, y-shear B, x-shear C applied to
+    output coords):  with theta = atan2(-rot_inv[1,0], rot_inv[0,0]),
+    alpha = tan(theta/2), beta = -sin(theta), u = 0, v = ty,
+    w = tx - alpha*ty — algebraically reproduces x_src = a c + b r + tx,
+    y_src = c_ c + d r + ty.  |theta| > pi/2 first flips the source
+    image (both axes reversed == rotation by pi), so alpha stays <= 1
+    and the intermediate canvases stay bounded.
+
+    Value semantics: three 1-D linear interpolations instead of one 2-D
+    bilinear — sub-1% per-pixel differences, verified match-count
+    neutral on the cat ladder."""
+    a = rot_inv[0, 0]
+    c_ = rot_inv[1, 0]
+    tx = rot_inv[0, 2]
+    ty = rot_inv[1, 2]
+    theta = jnp.arctan2(-c_, a)
+    H, W = img.shape
+    flip = jnp.abs(theta) > (jnp.pi / 2 + 1e-6)
+    # flipped source: p_in' = [W-1, H-1] - p_in; M' = -M
+    theta_f = theta - jnp.sign(theta) * jnp.pi
+    tx_f = (W - 1.0) - tx
+    ty_f = (H - 1.0) - ty
+    img_eff = jnp.where(flip, img[::-1, ::-1], img)
+    th = jnp.where(flip, theta_f, theta)
+    txe = jnp.where(flip, tx_f, tx)
+    tye = jnp.where(flip, ty_f, ty)
+    alpha = jnp.tan(th / 2.0)
+    beta = -jnp.sin(th)
+    # stage A: x-shear on source rows (height H), width out_w + H margin
+    wa = out_w + H + 8
+    sa = _shear_x(img_eff, alpha, txe - alpha * tye, wa, fill)
+    # stage B: y-shear == x-shear on the transpose (width wa, height H)
+    sb = _shear_x(sa.T, beta, tye, out_h, fill).T
+    # stage C: x-shear to the final width
+    sc = _shear_x(sb, alpha, 0.0, out_w, fill)
+    return sc
+
+
+def separable_scale(img: jax.Array, inv_sx: jax.Array, inv_sy: jax.Array,
+                    out_h: int, out_w: int) -> jax.Array:
+    """Axis-aligned scale warp (x_src = inv_sx * x, y_src = inv_sy * y)
+    as two 1-D resamples — row gathers are contiguous, and separable
+    bilinear equals 2-D bilinear exactly for axis-aligned maps."""
+    H, W = img.shape
+    src_y = jnp.arange(out_h, dtype=jnp.float32) * inv_sy
+    y0 = jnp.floor(src_y)
+    wy = (src_y - y0)[:, None]
+    i0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    i1 = jnp.clip(i0 + 1, 0, H - 1)
+    rows = jnp.take(img, i0, axis=0) * (1.0 - wy) + \
+        jnp.take(img, i1, axis=0) * wy
+    src_x = jnp.arange(out_w, dtype=jnp.float32) * inv_sx
+    x0 = jnp.floor(src_x)
+    wx = (src_x - x0)[:, None]
+    j0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    j1 = jnp.clip(j0 + 1, 0, W - 1)
+    cols = jnp.take(rows.T, j0, axis=0) * (1.0 - wx) + \
+        jnp.take(rows.T, j1, axis=0) * wx
+    return cols.T
+
+
 def patch_grid(patch_size: int) -> jax.Array:
     """(P, P, 2) grid of patch offsets in [-half, +half], (dx, dy) order.
 

@@ -259,7 +259,7 @@ def _make_render_fn(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
     (V, canvas) shape — the compiled-program count is what the remote
     TPU compile service cannot absorb, not the FLOPs."""
     from mods_tpu.ops.gaussian import gaussian_blur_rt
-    from mods_tpu.ops.warp import affine_warp
+    from mods_tpu.ops.warp import separable_scale, shear_rotate
 
     def clamp_pad(view, vhw):
         # replicate the last valid row/col into the bucketed-canvas pad:
@@ -278,12 +278,16 @@ def _make_render_fn(V: int, h0: int, w0: int, hr: int, wr: int, hc: int,
             views = jnp.full((V, hc, wc), 128.0, img.dtype)
             views = views.at[:, :h0, :w0].set(img[None])
         else:
-            rots = jax.vmap(lambda m: affine_warp(
-                img, m, hr, wr, fill=128.0))(rot_inv)
+            # rotation as 3 shears (contiguous dynamic slices) and the
+            # tilt squash as a separable axis-aligned resample — the
+            # 4-plane bilinear gather warp ran at ~124M gathers/s and
+            # was the single largest cost of the pipeline (op_bench r4)
+            rots = jax.vmap(lambda m: shear_rotate(img, m, hr, wr))(
+                rot_inv)
             if do_blur:
                 rots = gaussian_blur_rt(rots, sig_x, sig_y)
-            views = jax.vmap(lambda im: affine_warp(
-                im, squash_inv, hc, wc, fill=128.0))(rots)
+            views = jax.vmap(lambda im: separable_scale(
+                im, squash_inv[0, 0], squash_inv[1, 1], hc, wc))(rots)
         return jax.vmap(clamp_pad)(views, valid_hw)
 
     return render

@@ -54,6 +54,105 @@ void warp_affine(const float* img, int h, int w, const float* m /*2x3*/,
   }
 }
 
+// out[r, c] = in[r, c + slope*r + off] with linear interpolation along x
+// and `fill` outside [0, w) — the device _shear_x (ops/warp.py) twin.
+// `flip` reads the source reversed in both axes (rotation-by-pi fold).
+void shear_x_pass(const float* in, int h, int w, float slope, float off,
+                  float* out, int out_w, float fill, int flip) {
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < h; ++r) {
+    const float s = slope * (float)r + off;
+    const float o = std::floor(s);
+    const float wt = s - o;
+    const int oi = (int)o;
+    const float* irow =
+        flip ? in + (size_t)(h - 1 - r) * w : in + (size_t)r * w;
+    float* orow = out + (size_t)r * out_w;
+    for (int c = 0; c < out_w; ++c) {
+      const int j0 = c + oi;
+      const int j1 = j0 + 1;
+      const int k0 = flip ? (w - 1 - j0) : j0;
+      const int k1 = flip ? (w - 1 - j1) : j1;
+      const float p0 = (j0 >= 0 && j0 < w) ? irow[k0] : fill;
+      const float p1 = (j1 >= 0 && j1 < w) ? irow[k1] : fill;
+      orow[c] = p0 * (1.0f - wt) + p1 * wt;
+    }
+  }
+}
+
+void transpose(const float* in, int h, int w, float* out) {
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < h; ++r)
+    for (int c = 0; c < w; ++c) out[(size_t)c * h + r] = in[(size_t)r * w + c];
+}
+
+// Rotation warp as three x-shears with transposes between — mirrors the
+// device shear_rotate (ops/warp.py): theta from the inverse map, flip
+// fold for |theta| > pi/2, alpha = tan(theta/2), beta = -sin(theta).
+void shear_rotate(const float* img, int h, int w, const float* m /*2x3*/,
+                  float* out, int oh, int ow, float fill,
+                  std::vector<float>& buf_a, std::vector<float>& buf_b) {
+  const float a = m[0], c_ = m[3], tx = m[2], ty = m[5];
+  float theta = std::atan2(-c_, a);
+  int flip = 0;
+  float txe = tx, tye = ty;
+  if (std::fabs(theta) > (float)(M_PI / 2 + 1e-6)) {
+    flip = 1;
+    theta = theta - (theta > 0 ? (float)M_PI : -(float)M_PI);
+    txe = (float)(w - 1) - tx;
+    tye = (float)(h - 1) - ty;
+  }
+  const float alpha = std::tan(theta / 2.0f);
+  const float beta = -std::sin(theta);
+  const int wa = ow + h + 8;
+  buf_a.resize((size_t)h * wa);          // stage A: (h, wa)
+  shear_x_pass(img, h, w, alpha, txe - alpha * tye, buf_a.data(), wa,
+               fill, flip);
+  buf_b.resize((size_t)wa * h);          // A^T: (wa, h)
+  transpose(buf_a.data(), h, wa, buf_b.data());
+  buf_a.resize((size_t)wa * oh);         // stage B on A^T: (wa, oh)
+  shear_x_pass(buf_b.data(), wa, h, beta, tye, buf_a.data(), oh, fill, 0);
+  buf_b.resize((size_t)oh * wa);         // B^T: (oh, wa)
+  transpose(buf_a.data(), wa, oh, buf_b.data());
+  shear_x_pass(buf_b.data(), oh, wa, alpha, 0.0f, out, ow, fill, 0);
+}
+
+// Axis-aligned separable resample with index clamping (replicate) — the
+// device separable_scale twin: y-pass then x-pass.
+void separable_scale(const float* in, int h, int w, float sx_inv,
+                     float sy_inv, float* out, int oh, int ow,
+                     int ow_stride, std::vector<float>& buf) {
+  buf.resize((size_t)oh * w);
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < oh; ++r) {
+    const float sy = sy_inv * (float)r;
+    int i0 = (int)std::floor(sy);
+    const float wy = sy - std::floor(sy);
+    if (i0 < 0) i0 = 0;
+    if (i0 > h - 1) i0 = h - 1;
+    int i1 = i0 + 1 > h - 1 ? h - 1 : i0 + 1;
+    const float* r0 = in + (size_t)i0 * w;
+    const float* r1 = in + (size_t)i1 * w;
+    float* orow = buf.data() + (size_t)r * w;
+    for (int c = 0; c < w; ++c)
+      orow[c] = r0[c] * (1.0f - wy) + r1[c] * wy;
+  }
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < oh; ++r) {
+    const float* irow = buf.data() + (size_t)r * w;
+    float* orow = out + (size_t)r * ow_stride;
+    for (int c = 0; c < ow; ++c) {
+      const float sx = sx_inv * (float)c;
+      int j0 = (int)std::floor(sx);
+      const float wx = sx - std::floor(sx);
+      if (j0 < 0) j0 = 0;
+      if (j0 > w - 1) j0 = w - 1;
+      int j1 = j0 + 1 > w - 1 ? w - 1 : j0 + 1;
+      orow[c] = irow[j0] * (1.0f - wx) + irow[j1] * wx;
+    }
+  }
+}
+
 std::vector<float> gauss_taps(float sigma) {
   int size = (int)(2.0f * 3.0f * sigma + 1.0f);
   if (size % 2 == 0) size += 1;
@@ -136,10 +235,10 @@ void mods_render_group(const float* img, int h, int w,
     return;
   }
   std::vector<float> rot((size_t)hr * wr), scratch((size_t)hr * wr);
-  const float squash[6] = {sx_inv, 0.0f, 0.0f, 0.0f, sy_inv, 0.0f};
+  std::vector<float> buf_a, buf_b, buf_s;
   for (int v = 0; v < V; ++v) {
-    warp_affine(img, h, w, rot_inv + (size_t)v * 6, rot.data(), hr, wr,
-                wr, 128.0f);
+    shear_rotate(img, h, w, rot_inv + (size_t)v * 6, rot.data(), hr, wr,
+                 128.0f, buf_a, buf_b);
     if (do_blur) {
       blur_separable(rot.data(), hr, wr, sigma_x, sigma_y,
                      scratch.data());
@@ -147,7 +246,8 @@ void mods_render_group(const float* img, int h, int w,
     float* o = out + (size_t)v * hc * wc;
     const int hv0 = valid_hw[v * 2], wv0 = valid_hw[v * 2 + 1];
     const int hv = hv0 < hc ? hv0 : hc, wv = wv0 < wc ? wv0 : wc;
-    warp_affine(rot.data(), hr, wr, squash, o, hv, wv, wc, 128.0f);
+    separable_scale(rot.data(), hr, wr, sx_inv, sy_inv, o, hv, wv, wc,
+                    buf_s);
     // replicate the last valid row/col into the canvas padding — a
     // constant fill would manufacture an artificial edge at the valid
     // boundary (device render clamp_pad parity, pipeline.py)

@@ -59,6 +59,10 @@ def main():
             if attempt == 5:
                 raise
     dt = time.perf_counter() - t0
+    # steady-state wall (programs warm), perturbed inputs
+    t0 = time.perf_counter()
+    matcher.match(img1 + 0.25, img2 + 0.25, gt_h=gt_h)
+    steady_s = time.perf_counter() - t0
 
     nt = max(res.n_tentatives, 1)
     ours = {
@@ -69,6 +73,7 @@ def main():
         "ransac_true": int(res.extras.get("ransac_true", -1)),
         "steps_used": int(res.steps_used),
         "wall_s": round(dt, 2),
+        "steady_wall_s": round(steady_s, 2),
         "backend": jax.default_backend(),
     }
     out = {"workload": "cat pair, full CVIU ladder, GR_TRUTH dual mode",
