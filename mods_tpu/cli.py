@@ -251,7 +251,7 @@ def cmd_match_multi(argv: list[str]) -> int:
     # the pair-sharded MultiMatcher handles device detectors fully fused
     # AND host-stage MSER (threaded native detect + batched describe);
     # only ReadAffs (per-image keypoint files) needs the serial loop
-    batched_ok = "ReadAffs" not in dets
+    batched_ok = not ({"ReadAffs", "External"} & dets)
     if batched_ok and todo:
         mesh = make_mesh() if jax.device_count() > 1 else None
         m = MultiMatcher(ladder, cfg, mesh=mesh)

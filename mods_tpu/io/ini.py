@@ -265,6 +265,12 @@ def parse_descriptor_sections(ini: dict) -> dict:
         mr_size=g("mrSize", 12.0),
         normalization=gs("Normalization", "L2"),
         do_sift_like_orientation=gb("DoSIFTLikeOrientation", True))
+    # external-binary plugin (imagerepresentation.cpp:747-1026)
+    from mods_tpu.pipeline import ExternalCmdParams
+    g, gb, gs = _sec_reader(ini, "ExternalDetector")
+    out["external"] = ExternalCmdParams(
+        command=gs("command", ""), format=gs("format", "oxford"),
+        cap=int(g("cap", 512)))
     return out
 
 

@@ -87,6 +87,20 @@ class MserParams:
 
 
 @dataclass(frozen=True)
+class ExternalCmdParams:
+    """Generic external-process detector — the TPU-native counterpart of
+    the reference's external-binary branch (imagerepresentation.cpp:
+    747-1026, EdgeFoci/SFOP/WAVE/WaSH via system()).  ``command`` is a
+    shell template with {img} and {out} placeholders; it is run per
+    synthesized view (host-rendered PNG in, keypoint file out), the
+    output parsed as Oxford ellipses or x/y/scale KP rows, and the
+    regions described on device like any host-stage detector."""
+    command: str = ""
+    format: str = "oxford"       # "oxford" | "kp"
+    cap: int = 512               # padded keypoint rows per view
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     pyramid: PyramidParams = PyramidParams()           # HessianAffine
     pyramid_dog: PyramidParams = PyramidParams(
@@ -120,6 +134,7 @@ class EngineConfig:
     mrogh: MroghParams = MroghParams()
     pixels: PixelsParams = PixelsParams()
     cnn: CnnParams = CnnParams()
+    external: ExternalCmdParams = ExternalCmdParams()
     # GR_TRUTH | LORANSACH | LORANSACF | ORSA (mods.cpp:310-371); empty
     # string defers to ransac.use_f for backward compatibility.
     ver_type: str = ""
@@ -1050,6 +1065,56 @@ class TwoViewMatcher:
             out["response"][iv, :n] = 1.0
             out["mask"][iv, :n] = True
             return out
+        if det == "External":
+            # external-binary plugin (imagerepresentation.cpp:747-1026):
+            # host-render each view, run the command, read keypoints
+            import subprocess
+            import tempfile
+            from PIL import Image
+            from mods_tpu.io.oxford import read_kps, read_oxford
+            from mods_tpu.ops.host_render import render_group_np
+            ext = cfg.external
+            if not ext.command:
+                raise ValueError("External detector needs "
+                                 "[ExternalDetector] command set")
+            cap = ext.cap
+            valid_hw = np.asarray(
+                [[p.h_new, p.w_new] for p in group], np.int32)
+            with log.phase("SynthTime"):
+                views_np = render_group_np(
+                    g_host, rot_inv, hr, wr, p0.view.do_blur, p0.sigma_x,
+                    p0.sigma_y, p0.tilt_scale[0], p0.tilt_scale[1],
+                    valid_hw, hc, wc, p0.identity)
+            z = np.zeros
+            out = dict(xy=z((V, cap, 2), np.float32),
+                       A=np.tile(np.eye(2, dtype=np.float32),
+                                 (V, cap, 1, 1)),
+                       s=z((V, cap), np.float32),
+                       response=z((V, cap), np.float32),
+                       mask=z((V, cap), bool))
+            with log.phase("DetectTime"), tempfile.TemporaryDirectory() \
+                    as td:
+                for v in range(V):
+                    h_v, w_v = int(valid_hw[v, 0]), int(valid_hw[v, 1])
+                    ip = f"{td}/v{v}.png"
+                    op = f"{td}/v{v}.keys"
+                    Image.fromarray(np.clip(
+                        views_np[v, :h_v, :w_v], 0, 255).astype(
+                            np.uint8)).save(ip)
+                    subprocess.run(ext.command.format(img=ip, out=op),
+                                   shell=True, check=True, timeout=600,
+                                   capture_output=True)
+                    if ext.format == "kp":
+                        xy, A, s = read_kps(op)
+                    else:
+                        xy, A, s, _ = read_oxford(op)
+                    n = min(len(xy), cap)
+                    out["xy"][v, :n] = xy[:n]
+                    out["A"][v, :n] = A[:n]
+                    out["s"][v, :n] = s[:n]
+                    out["response"][v, :n] = 1.0
+                    out["mask"][v, :n] = True
+            return out
         if det == "MSER":
             from mods_tpu.detectors.mser import detect_msers_padded
             from mods_tpu.ops.host_render import render_group_np
@@ -1140,8 +1205,9 @@ class TwoViewMatcher:
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, it.detector, specs, cfg)
             else:
-                host_k = (cfg.mser.host_cap if it.detector == "MSER"
-                          else cfg.caps.per_view)
+                host_k = {"MSER": cfg.mser.host_cap,
+                          "External": cfg.external.cap}.get(
+                    it.detector, cfg.caps.per_view)
                 program = _fused_hostdet_program(
                     Vb, h, w, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity, host_k, specs, cfg)

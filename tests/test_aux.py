@@ -134,3 +134,44 @@ def test_match_multi_cli_resume(tmp_path):
     assert m2.result(g1)["n_matches"] == 777
     assert m2.result(g2) is not None
     assert m2.result(g2)["n_matches"] != 777
+
+
+def test_external_command_detector(tmp_path):
+    """Generic external-process detector plugin
+    (imagerepresentation.cpp:747-1026): run a command per synthesized
+    view, ingest its keypoint file, describe/match on device."""
+    from mods_tpu.config import CapacityParams, IterationParams, \
+        RansacParams
+    from mods_tpu.pipeline import EngineConfig, ExternalCmdParams, \
+        TwoViewMatcher, replace
+    from tests.test_pipeline import textured_image, warp_np
+
+    # the "external binary": a grid detector writing Oxford ellipses
+    script = tmp_path / "grid_det.py"
+    script.write_text(
+        "import sys\nfrom PIL import Image\n"
+        "im = Image.open(sys.argv[1]); w, h = im.size\n"
+        "pts = [(x, y) for y in range(24, h - 24, 12)\n"
+        "       for x in range(24, w - 24, 12)]\n"
+        "with open(sys.argv[2], 'w') as f:\n"
+        "    f.write('0.0\\n%d\\n' % len(pts))\n"
+        "    inv = 1.0 / (3.0 * 3.0)\n"
+        "    for x, y in pts:\n"
+        "        f.write('%f %f %f 0 %f\\n' % (x, y, inv, inv))\n")
+    cfg = EngineConfig(
+        caps=CapacityParams(per_octave=512, per_view=256, per_image=512,
+                            max_angles=2, tentatives=1024),
+        ransac=RansacParams(err_threshold=3.0, batch_hypotheses=256,
+                            max_rounds=2),
+        external=ExternalCmdParams(
+            command=f"python {script} {{img}} {{out}}"))
+    img1 = textured_image(156, 192, seed=17)
+    H = np.array([[1.0, 0.0, 12.0], [0.0, 1.0, -12.0], [0, 0, 1.0]])
+    img2 = warp_np(img1, H, 156, 192)
+    ladder = [IterationParams(detector="External",
+                              descriptors=("RootSIFT",),
+                              fginn_threshold=(0.9,))]
+    m = TwoViewMatcher(ladder, cfg).match(np.asarray(img1, np.float32),
+                                          np.asarray(img2, np.float32))
+    # grid step == translation: corresponding keypoints exist exactly
+    assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
