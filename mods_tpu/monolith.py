@@ -273,12 +273,7 @@ def build_ladder_program(matcher, shape1, shape2):
         out["ransac_true"] = out["n_inl"]
         return out
 
-    def ladder_fn(img1, img2, slabs_flat, key, gt_h=None):
-        imgs = (img1, img2)
-        slabs = {spec: slab for spec, slab in
-                 zip(slab_spec, slabs_flat)}
-        if gt_h is None:
-            gt_h = jnp.eye(3)
+    def init_state(key):
         stores = {}
         for (det, name) in store_keys:
             dim = spec_for(name, cfg).dim
@@ -296,9 +291,23 @@ def build_ladder_program(matcher, shape1, shape2):
         done = jnp.zeros((), bool)
         steps_used = jnp.asarray(R, jnp.int32)
         counts = jnp.zeros((R,), jnp.int32)
-        state = (stores, bank, best, done, steps_used, counts, key)
+        return (stores, bank, best, done, steps_used, counts, key)
 
-        for r, rung in enumerate(rungs):
+    def ladder_fn(img1, img2, slabs_flat, key, gt_h=None, state=None,
+                  rung_range=None):
+        """Run rungs [rung_range) (default all) over carried `state`
+        (default fresh) — segmentable for runtimes that cannot execute
+        the whole ladder as one program."""
+        imgs = (img1, img2)
+        slabs = {spec: slab for spec, slab in
+                 zip(slab_spec, slabs_flat)}
+        if gt_h is None:
+            gt_h = jnp.eye(3)
+        if state is None:
+            state = init_state(key)
+        lo, hi = rung_range if rung_range is not None else (0, R)
+
+        for r, rung in list(enumerate(rungs))[lo:hi]:
             def run(state, r=r, rung=rung):
                 stores, bank, best, done, steps_used, counts, key = state
                 for it in rung.dets:
@@ -340,10 +349,11 @@ def build_ladder_program(matcher, shape1, shape2):
                         fill_value=0)
         cxy2 = jnp.take(best["xy2_all"], idx, axis=0, mode="fill",
                         fill_value=0)
-        return dict(model=best["model"], n_inl=best["n_inl"],
-                    n_tent=best["n_tent"], xy1=cxy1, xy2=cxy2,
-                    steps_used=steps_used, counts=counts,
-                    ransac_matches=best["ransac_matches"],
-                    ransac_true=best["ransac_true"])
+        out = dict(model=best["model"], n_inl=best["n_inl"],
+                   n_tent=best["n_tent"], xy1=cxy1, xy2=cxy2,
+                   steps_used=steps_used, counts=counts,
+                   ransac_matches=best["ransac_matches"],
+                   ransac_true=best["ransac_true"])
+        return out, state
 
     return ladder_fn, slab_spec

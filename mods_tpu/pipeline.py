@@ -700,6 +700,10 @@ def _fused_group_program(V: int, h0: int, w0: int, hr: int, wr: int,
     def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw, regn,
                 hinv, stores):
         views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
+        # materialization fence: the rendered views feed dozens of
+        # consumers (pyramid levels, samplers); without it XLA may fuse
+        # the shear-warp gathers into each consumer and recompute them
+        views = jax.lax.optimization_barrier(views)
         regs = detect(views, valid_hw, regn)
         return desc(views, valid_hw, regs.xy, regs.A, regs.s,
                     regs.response, regs.mask, hinv, stores)
@@ -730,6 +734,7 @@ def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
                 regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv,
                 stores):
         views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
+        views = jax.lax.optimization_barrier(views)
         return desc(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
                     regs_mask, hinv, stores)
 
@@ -935,7 +940,7 @@ class TwoViewMatcher:
     def __init__(self, ladder: list[IterationParams] | None = None,
                  cfg: EngineConfig = EngineConfig(), seed: int = 0,
                  sync_timing: bool = False, stop_mode: str = "sync",
-                 monolith: bool = False):
+                 monolith: bool = False, monolith_segments: int = 1):
         # monolith=True compiles the WHOLE ladder (both images, all
         # rungs, matching, verification, early stop) into ONE program
         # (mods_tpu/monolith.py) — the serving path for the tunneled
@@ -943,6 +948,9 @@ class TwoViewMatcher:
         # overhead.  The per-group path remains for timing attribution,
         # incremental CLI flows, and as the flexible fallback.
         self.monolith = monolith
+        # >1 splits the ladder into that many carried-state programs —
+        # for runtimes that cannot execute the whole ladder as one
+        self.monolith_segments = monolith_segments
         self._monolith_cache: dict = {}
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
@@ -1448,13 +1456,28 @@ class TwoViewMatcher:
     # -- monolith serving path --------------------------------------------
 
     def _monolith_program(self, shape1, shape2):
-        mkey = (shape1, shape2)
+        mkey = (shape1, shape2, self.monolith_segments)
         hit = self._monolith_cache.get(mkey)
         if hit is not None:
             return hit
         from mods_tpu.monolith import build_ladder_program
         fn, slab_spec = build_ladder_program(self, shape1, shape2)
-        hit = (jax.jit(fn), slab_spec)
+        R = len(as_rungs(self.ladder)[:self.cfg.max_steps])
+        segs = max(1, min(self.monolith_segments, R))
+        bounds = [round(i * R / segs) for i in range(segs + 1)]
+        progs = []
+        for si in range(segs):
+            lo, hi = bounds[si], bounds[si + 1]
+            if si == 0:
+                progs.append(jax.jit(
+                    lambda i1, i2, s, k, g, lo=lo, hi=hi:
+                    fn(i1, i2, s, k, g, None, (lo, hi))))
+            else:
+                progs.append(jax.jit(
+                    lambda i1, i2, s, k, g, st, lo=lo, hi=hi:
+                    fn(i1, i2, s, k, g, st, (lo, hi)),
+                    donate_argnums=(5,)))
+        hit = (progs, slab_spec)
         self._monolith_cache[mkey] = hit
         return hit
 
@@ -1481,13 +1504,16 @@ class TwoViewMatcher:
 
     def _match_monolith(self, g1, g2, gt_h, log: TimeLog) -> MatchResult:
         cfg = self.cfg
-        prog, slab_spec = self._monolith_program(g1.shape, g2.shape)
+        progs, slab_spec = self._monolith_program(g1.shape, g2.shape)
         with log.phase("DetectTime"):
             slabs = self._compute_slabs(slab_spec, (g1, g2), TimeLog())
         self.key, k = jax.random.split(self.key)
         gt = jnp.asarray(gt_h if gt_h is not None else np.eye(3),
                          jnp.float32)
-        out = prog(jnp.asarray(g1), jnp.asarray(g2), slabs, k, gt)
+        g1d, g2d = jnp.asarray(g1), jnp.asarray(g2)
+        out, state = progs[0](g1d, g2d, slabs, k, gt)
+        for prog in progs[1:]:
+            out, state = prog(g1d, g2d, slabs, k, gt, state)
         jax.block_until_ready(out)
         log.finalize()
         n_inl = int(out["n_inl"])
