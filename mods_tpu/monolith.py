@@ -149,6 +149,7 @@ def build_ladder_program(matcher, shape1, shape2):
                                const(gp["sig_np"][0]),
                                const(gp["sig_np"][1]),
                                const(gp["valid_np"]))
+                views = jax.lax.optimization_barrier(views)
                 regs = detect(views, const(gp["valid_np"]),
                               const(gp["regn_np"]))
                 sts = desc(views, const(gp["valid_np"]), regs.xy,
@@ -169,6 +170,7 @@ def build_ladder_program(matcher, shape1, shape2):
                                const(gp["sig_np"][0]),
                                const(gp["sig_np"][1]),
                                const(gp["valid_np"]))
+                views = jax.lax.optimization_barrier(views)
                 sts = desc(views, const(gp["valid_np"]), slab["xy"],
                            slab["A"], slab["s"], slab["response"],
                            slab["mask"], const(gp["hinv_np"]), sts)

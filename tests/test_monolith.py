@@ -72,3 +72,17 @@ def test_monolith_gt_mode():
     assert r.n_matches >= 10
     assert r.extras["ransac_matches"] >= 8
     assert r.extras["ransac_true"] >= 8
+
+
+def test_monolith_segments_agree():
+    """Splitting the ladder into carried-state segment programs must
+    reproduce the single-program result."""
+    img1, img2, _ = _pair(seed=33)
+    ladder = [IterationParams(descriptors=("RootSIFT",)),
+              IterationParams(detector="DoG", descriptors=("RootSIFT",))]
+    a = TwoViewMatcher(ladder, _cfg(), monolith=True,
+                       monolith_segments=1, seed=3).match(img1, img2)
+    b = TwoViewMatcher(ladder, _cfg(), monolith=True,
+                       monolith_segments=2, seed=3).match(img1, img2)
+    assert (a.n_matches, a.n_tentatives, a.steps_used) == \
+        (b.n_matches, b.n_tentatives, b.steps_used)
