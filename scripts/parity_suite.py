@@ -170,6 +170,14 @@ def run_reference(pairs):
 
 
 def run_ours(pairs):
+    only = None
+    for a in sys.argv:
+        if a.startswith("--pairs="):
+            only = set(a.split("=", 1)[1].split(","))
+    ladders_sel = None
+    for a in sys.argv:
+        if a.startswith("--ladders="):
+            ladders_sel = set(a.split("=", 1)[1].split(","))
     from mods_tpu.runtime import setup_cache
     setup_cache()
     import jax
@@ -179,6 +187,8 @@ def run_ours(pairs):
     from mods_tpu.pipeline import TwoViewMatcher
     res = {}
     for lname, (config, iters) in LADDERS.items():
+        if ladders_sel and lname not in ladders_sel:
+            continue
         cfg, ladder = _build_engine(config, iters, ver_type="LORANSACH")
         if lname == "wxbs":
             # FixedRegNumber ladder: thousands of regions per view
@@ -186,6 +196,8 @@ def run_ours(pairs):
                 cfg.caps, per_group=3072, per_image=8192))
         m = TwoViewMatcher(ladder, cfg, stop_mode="sync")
         for pname, (p1, p2, H) in pairs.items():
+            if only and pname not in only:
+                continue
             i1 = np.asarray(Image.open(p1).convert("L"), np.float32)
             i2 = np.asarray(Image.open(p2).convert("L"), np.float32)
             t0 = time.time()
@@ -248,7 +260,10 @@ def main():
         ref = {tuple(k.split("/")): v for k, v in
                json.load(open(f"{OUT}/ref.json")).items()}
     if "--ref-only" not in sys.argv:
-        ours = run_ours(pairs)
+        if os.path.exists(f"{OUT}/ours.json"):
+            ours = {tuple(k.split("/")): v for k, v in
+                    json.load(open(f"{OUT}/ours.json")).items()}
+        ours.update(run_ours(pairs))
         with open(f"{OUT}/ours.json", "w") as f:
             json.dump({f"{a}/{b}": v for (a, b), v in ours.items()}, f)
     write_table(ref, ours)
