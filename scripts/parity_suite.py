@@ -229,6 +229,10 @@ def write_table(ref, ours):
              " pair's GT homography (exact for synthetic pairs, the"
              " bundled approximate cat.txt for cat).",
              "",
+             "ref crashes are the reference binary aborting (OpenCV-4"
+             " FLANN assert on low-region synthetic pairs); 'ours s'"
+             " includes one-time program compiles when shapes are new.",
+             "",
              "| ladder | pair | ref matches | ref GT-true | ours matches"
              " | ours GT-true | ours tents | ours steps | ref s | ours s |",
              "|---|---|---|---|---|---|---|---|---|---|"]
