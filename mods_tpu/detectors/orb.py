@@ -12,9 +12,12 @@ keypoints to regions with A = R(angle), s = size/mrSize.  Here:
   * Orientation is the intensity centroid (IC) of a 31x31 disc computed
     on gathered patches (one batched gather instead of 2 whole-image
     convs).
-  * The BRIEF pattern is a deterministic seeded Gaussian pair set (the
-    original BRIEF construction; OpenCV's learned table is not copied) —
-    both images use the same pattern so matching behaves identically.
+  * The BRIEF pattern is OpenCV's learned rBRIEF 256-pair table (public
+    constant data from OpenCV's orb.cpp bit_pattern_31_, BSD license —
+    the exact table cv::ORB uses, so rung yields track the reference's;
+    validated bit-for-bit against cv2's ORB descriptors apart from exact
+    intensity ties).  A seeded Gaussian pair set remains as the fallback
+    for non-256-bit configurations.
 
 Descriptor bits are kept as float 0/1 so Hamming distance reduces to the
 same matmul kernel as L2 (|a-b|^2 == popcount(xor) on binary vectors).
@@ -70,10 +73,47 @@ def fast_corners(img: jax.Array, threshold: float = 20.0) -> jax.Array:
     return has_run9(bright) | has_run9(dark)
 
 
+# OpenCV's learned rBRIEF pattern (orb.cpp bit_pattern_31_, BSD): 256
+# rows of (x1, y1, x2, y2) int8 point pairs in the 31px patch frame.
+# Public constant data — the test-point set learned offline in the ORB
+# paper (Rublee et al., ICCV 2011) and shipped with every OpenCV build.
+_BIT_PATTERN_31_B64 = (
+    "CP0JBQQCB/T1CfgCB/QM8wLzAgwB+QEG/vb+/PPz9fjz/fT3CgQLCfP4+Pf1B/cMBwcM"
+    "Bvz7/QDzAvT99wD5BQz6DP/9Bv4M+vP8+AvzDPgEBwUBBf0K/QP5Bgz4+fr+/gv/9vMM"
+    "+Ar5A/v9/AL9B/b0+gsF9Ab5BfoH/wEABPsJCwvzBAcEDAL/BAT89P4H+Pv59gQLCQwA"
+    "+AHz8/74Av3+/gP6Cfz3CAwKBwAJAQMH+wv28/r1AAoHDAH6/foMCvcM/PMI+PTzAPj8"
+    "AwMHCAUHCvn/BwH0A/YFBgL8A/bzAPMF8/n0DPMD9Qj5DPwHBvYMCPf/+fr++wAM9AX5"
+    "BQP2CPP5+fwF/f7/+QIJBfX18/vz/wYA/wX9BQL88/wM9/r3BvT2+PwKAgz9BwwMDPnz"
+    "+gX8Cf0EB/8MAvkG+wHzC/QF/Qf++gf4DPnz+fX0Af0MDAL6AwD8A/7z//MBCQcBCPoB"
+    "/wMMCQEMBv/3/wPz8/YFBwcKDAz7DAkGAwcLBfMGCgL0AgMDCAT6AgYM8wn0CgP4BPkJ"
+    "9Qz8+gEMAvgG9wf8AgMD/gYDCwAD/Qj4BwgJA/X7+vz2C/sK+/j9DPYF9wAI/wz6BPoG"
+    "9fYM+AcE/gYH/gD+DPv4+wIH+goM9/P4+Pvz+/4I+Anz9/X3AAH4Af4H/AkB/gH//Av6"
+    "DPX09/oEAwcHDAUFCggA/AII9wz78wAHAgz/AgEHBQsH9wMFBvjz/PgJ+wn9/fz5/fQG"
+    "BQgA+Qb6DPMG+/4B9gMKBAEI/P7+AvMC9AwM/vMA+gQBCQP69v37/fP/AQcFDPUE/gX5"
+    "8wn3+wcBCAYH+AcG+fz5AfgL+fjzBvT4AgQDCQr7DAP6+/oHCP0J+AL0Agj1/vYD9PP5"
+    "9/UA9vsF/QsI/vP/DP/4AAnz9fT79v72C/0J/vMC/QMC9/P8APwG/fb8DP75+vX8CQb9"
+    "BgvzC/sFCwsMBgf7DP7/DAAH/Pj9/vkB+gfz9Pjz+f76+PgF+vf7//wF8wf4CgEFBfMB"
+    "AArzCQwK/wX4Cvf/CwHz9/36Av/2AQzzAfj2CPUK+gLzA/oH8wz39vb7+fb4+PME+ggF"
+    "AwwI8/wC/f0F8wr0BPMF//cJ/AMAAwP39AH6AQMCBPj29vYJCPMMDPj0+vsCAgMHCgYL"
+    "+AYICPT5CvoF/ff9Cf/z/wX9+f0E+P74AwQCDAwC+wMLBvcL8wP/BwwL/wwE/QD9BgT1"
+    "BAwC/AIB9vr4AfMH9QHzDPXzBgAL8wD/AQTzA/f+9wj6/fP6+P4F9wgKAgcD9//6//8J"
+    "BQv+C/0M+AMAAwX/BAAKA/oEBfMA9gUFCAwLCAkJ+gf8CPT2BPYJBwMMBAn5Cv4HAAz+"
+    "//oA9Q=="
+)
+
+
 @functools.lru_cache(maxsize=8)
 def brief_pattern(n_bits: int = 256, patch: int = 31,
                   seed: int = 7) -> np.ndarray:
-    """(n_bits, 2, 2) point pairs, Gaussian sigma=patch/5 clipped."""
+    """(n_bits, 2, 2) point pairs.  256 bits = OpenCV's learned table
+    (what cv::ORB uses, imagerepresentation.cpp:1077-1105); other widths
+    fall back to a seeded Gaussian pair set (the original BRIEF
+    construction), clipped to the patch."""
+    if n_bits == 256 and patch == 31:
+        import base64
+        raw = np.frombuffer(
+            base64.b64decode(_BIT_PATTERN_31_B64), np.int8)
+        return raw.astype(np.float32).reshape(256, 2, 2)
     rng = np.random.default_rng(seed)
     half = patch // 2
     pts = rng.normal(0.0, patch / 5.0, (n_bits, 2, 2))
@@ -195,7 +235,9 @@ def brief_from_patches(p: jax.Array, n_bits: int = 256) -> jax.Array:
     from mods_tpu.ops.gaussian import blur_band_matrix
     pat = jnp.asarray(brief_pattern(n_bits))       # (B, 2, 2)
     patch = p.shape[-1]
-    M = jnp.asarray(blur_band_matrix(patch, 1.0))
+    # cv::ORB prefilters with GaussianBlur(7,7,sigma=2) before sampling
+    # single pixels at the pattern points
+    M = jnp.asarray(blur_band_matrix(patch, 2.0))
     p = jnp.einsum("ij,kjc->kic", M, p)
     p = jnp.einsum("kic,jc->kij", p, M)
     half = patch // 2

@@ -110,3 +110,21 @@ def test_mrogh_descriptor():
     # NN matching under rotation
     dist = ((d[:, None] - d2[None]) ** 2).sum(-1)
     assert (dist.argmin(1) == np.arange(K)).mean() >= 0.9
+
+
+def test_learned_brief_pattern():
+    """256-bit pattern is OpenCV's learned bit_pattern_31_ (the exact
+    table cv::ORB samples, imagerepresentation.cpp:1077-1105): integer
+    coords in [-13, 12], correct first rows, no degenerate pairs."""
+    from mods_tpu.detectors.orb import brief_pattern
+    pat = brief_pattern(256)
+    assert pat.shape == (256, 2, 2)
+    assert pat.min() >= -13 and pat.max() <= 12
+    assert np.all(pat == np.round(pat))          # learned table is integer
+    np.testing.assert_array_equal(pat[0], [[8, -3], [9, 5]])
+    np.testing.assert_array_equal(pat[1], [[4, 2], [7, -12]])
+    # every pair compares two distinct points
+    assert np.all(np.any(pat[:, 0] != pat[:, 1], axis=-1))
+    # non-256 widths keep the seeded fallback (float, clipped)
+    pat2 = brief_pattern(128)
+    assert pat2.shape == (128, 2, 2)
