@@ -227,6 +227,67 @@ def _gather3x3x3(vol: jax.Array, lvl: jax.Array, r: jax.Array,
     return jnp.stack(taps, axis=0).transpose(3, 0, 1, 2)  # (K, 3, 3, 3)
 
 
+def _dense_local_fields(resps: jax.Array, edge_th: float):
+    """Dense per-voxel localization fields over the detection levels.
+
+    The iterative localizeKeypoint stencil (pyramid.cpp:308-430) reads a
+    3x3x3 window per candidate per iteration — 27 gathers each.  All of
+    its per-voxel quantities are cheap elementwise stencils, so compute
+    them ONCE for the whole (L+2, H, W) volume and let each iteration
+    gather just FOUR precomputed values (solx, soly, sols, newval) plus
+    one first-iteration edge flag — dense VPU work is ~free next to
+    per-candidate gathers on TPU.
+
+    Returns (solx, soly, sols, newval, edge_bad) each (L+2, H, W),
+    arbitrary values on the boundary shells (candidates never index them
+    — NMS levels are 1..L and borders are rejected upstream).
+    """
+    v = resps
+    L2, H, W = v.shape
+    z = jnp.zeros_like(v)
+    c = v[1:-1, 1:-1, 1:-1]
+    lo = v[:-2, 1:-1, 1:-1]
+    hi = v[2:, 1:-1, 1:-1]
+    dxx = v[1:-1, 1:-1, :-2] - 2 * c + v[1:-1, 1:-1, 2:]
+    dyy = v[1:-1, :-2, 1:-1] - 2 * c + v[1:-1, 2:, 1:-1]
+    dss = lo - 2 * c + hi
+    dxy = 0.25 * (v[1:-1, 2:, 2:] - v[1:-1, 2:, :-2]
+                  - v[1:-1, :-2, 2:] + v[1:-1, :-2, :-2])
+    dxs = 0.25 * (v[2:, 1:-1, 2:] - v[2:, 1:-1, :-2]
+                  - v[:-2, 1:-1, 2:] + v[:-2, 1:-1, :-2])
+    dys = 0.25 * (v[2:, 2:, 1:-1] - v[2:, :-2, 1:-1]
+                  - v[:-2, 2:, 1:-1] + v[:-2, :-2, 1:-1])
+    dx = 0.5 * (v[1:-1, 1:-1, 2:] - v[1:-1, 1:-1, :-2])
+    dy = 0.5 * (v[1:-1, 2:, 1:-1] - v[1:-1, :-2, 1:-1])
+    ds = 0.5 * (hi - lo)
+    # Cramer's rule for -H^-1 g (same arithmetic as solve3x3 below)
+    det = (dxx * (dyy * dss - dys * dys)
+           - dxy * (dxy * dss - dys * dxs)
+           + dxs * (dxy * dys - dyy * dxs))
+    b0, b1, b2 = -dx, -dy, -ds
+    d0 = (b0 * (dyy * dss - dys * dys)
+          - dxy * (b1 * dss - dys * b2)
+          + dxs * (b1 * dys - dyy * b2))
+    d1 = (dxx * (b1 * dss - b2 * dys)
+          - b0 * (dxy * dss - dys * dxs)
+          + dxs * (dxy * b2 - b1 * dxs))
+    d2 = (dxx * (dyy * b2 - dys * b1)
+          - dxy * (dxy * b2 - b1 * dxs)
+          + b0 * (dxy * dys - dyy * dxs))
+    solx = d0 / det
+    soly = d1 / det
+    sols = d2 / det
+    newval = c + 0.5 * (dx * solx + dy * soly + ds * sols)
+    edge_score = (dxx + dyy) * (dxx + dyy) / (dxx * dyy - dxy * dxy)
+    edge_bad = (edge_score >= edge_th) | (edge_score < 0)
+
+    def pad(a, fill=0.0):
+        return z.at[1:-1, 1:-1, 1:-1].set(a) if a.dtype == v.dtype else \
+            jnp.zeros(v.shape, a.dtype).at[1:-1, 1:-1, 1:-1].set(a)
+
+    return (pad(solx), pad(soly), pad(sols), pad(newval), pad(edge_bad))
+
+
 def localize_keypoints(resps: jax.Array, blurs: jax.Array, lvl: jax.Array,
                        r0: jax.Array, c0: jax.Array, valid: jax.Array,
                        p: PyramidParams, final_threshold: float,
@@ -241,52 +302,22 @@ def localize_keypoints(resps: jax.Array, blurs: jax.Array, lvl: jax.Array,
     L2, H, W = resps.shape
     edge_th = ((p.edge_eigen_value_ratio + 1.0) ** 2
                / p.edge_eigen_value_ratio)
-
-    def stencil(rr, cc):
-        win = _gather3x3x3(resps, lvl, rr, cc)  # (K,3,3,3) [lvl, row, col]
-        cur = win[:, 1]
-        low = win[:, 0]
-        high = win[:, 2]
-        dxx = cur[:, 1, 0] - 2 * cur[:, 1, 1] + cur[:, 1, 2]
-        dyy = cur[:, 0, 1] - 2 * cur[:, 1, 1] + cur[:, 2, 1]
-        dss = low[:, 1, 1] - 2 * cur[:, 1, 1] + high[:, 1, 1]
-        dxy = 0.25 * (cur[:, 2, 2] - cur[:, 2, 0]
-                      - cur[:, 0, 2] + cur[:, 0, 0])
-        dxs = 0.25 * (high[:, 1, 2] - high[:, 1, 0]
-                      - low[:, 1, 2] + low[:, 1, 0])
-        dys = 0.25 * (high[:, 2, 1] - high[:, 0, 1]
-                      - low[:, 2, 1] + low[:, 0, 1])
-        dx = 0.5 * (cur[:, 1, 2] - cur[:, 1, 0])
-        dy = 0.5 * (cur[:, 2, 1] - cur[:, 0, 1])
-        ds = 0.5 * (high[:, 1, 1] - low[:, 1, 1])
-        return dxx, dyy, dss, dxy, dxs, dys, dx, dy, ds, cur[:, 1, 1]
-
-    def solve3x3(dxx, dyy, dss, dxy, dxs, dys, rhs0, rhs1, rhs2):
-        A = jnp.stack([
-            jnp.stack([dxx, dxy, dxs], -1),
-            jnp.stack([dxy, dyy, dys], -1),
-            jnp.stack([dxs, dys, dss], -1)], -2)       # (K,3,3)
-        b = jnp.stack([rhs0, rhs1, rhs2], -1)          # (K,3)
-        det = jnp.linalg.det(A)
-        # Cramer's rule; ill-conditioned systems produce inf/nan that the
-        # validity checks below reject, like the reference's isnan guard.
-        sol = []
-        for i in range(3):
-            Ai = A.at[:, :, i].set(b)
-            sol.append(jnp.linalg.det(Ai) / det)
-        return jnp.stack(sol, -1)                       # (K,3)
+    f_solx, f_soly, f_sols, f_newval, f_edge = _dense_local_fields(
+        resps, edge_th)
+    flat_fields = (f_solx.reshape(-1), f_soly.reshape(-1),
+                   f_sols.reshape(-1), f_newval.reshape(-1))
+    flat_edge = f_edge.reshape(-1)
 
     def body(it, state):
         r, c, b, val, alive, edge_ok = state
-        dxx, dyy, dss, dxy, dxs, dys, dx, dy, ds, center = stencil(r, c)
+        base = (lvl * H + r) * W + c
+        solx, soly, sols, new_val = (
+            jnp.take(f, base, mode="clip") for f in flat_fields)
+        sol = jnp.stack([solx, soly, sols], -1)
         if_first = (it == 0)
-        edge_score = (dxx + dyy) * (dxx + dyy) / (dxx * dyy - dxy * dxy)
-        edge_bad = (edge_score >= edge_th) | (edge_score < 0)
+        edge_bad = jnp.take(flat_edge, base, mode="clip")
         edge_ok = jnp.where(if_first, ~edge_bad, edge_ok)
-        sol = solve3x3(dxx, dyy, dss, dxy, dxs, dys, -dx, -dy, -ds)
         nan_bad = jnp.any(~jnp.isfinite(sol), axis=-1)
-        new_val = center + 0.5 * (dx * sol[:, 0] + dy * sol[:, 1]
-                                  + ds * sol[:, 2])
         # shift by one pixel where off by more than MAX_SUBPIXEL_SHIFT
         stepc = (jnp.where(sol[:, 0] > MAX_SUBPIXEL_SHIFT, 1, 0)
                  + jnp.where(sol[:, 0] < -MAX_SUBPIXEL_SHIFT, -1, 0))
