@@ -90,21 +90,26 @@ def _prepare_smm_windows(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
     sigma >= 1.6, so decimation loses nothing).  Returns
     (window_source, xy_eff, inv_scale) — sample with A * inv_scale.
     """
-    from mods_tpu.ops.sampler import pad_canvas, prepare_windows
+    from mods_tpu.ops.sampler import (MAX_HALF_EXTENT, pad_canvas,
+                                      prepare_windows, use_pallas_sampler)
     stack = pad_canvas(blurs)
     l2, hc, wc = stack.shape
     dec = stack[:, ::2, ::2]
     dec = jnp.pad(dec, ((0, 0), (0, hc - dec.shape[1]),
                         (0, wc - dec.shape[2])), mode="edge")
     big = jnp.concatenate([stack, dec], axis=0)
-    use_half = (max_norm * half_w * 1.4143) > 62.0
+    use_half = (max_norm * half_w * 1.4143) > (MAX_HALF_EXTENT - 2.0)
     inv_scale = jnp.where(use_half, 0.5, 1.0)
     lvl_eff = lvl + l2 * use_half.astype(jnp.int32)
     xy_eff = xy * inv_scale[:, None]
     # no validity masking: out-of-image samples clamp to the replicated
     # edge, matching the clipped-gather semantics of the direct path
     vhw = jnp.broadcast_to(jnp.asarray([[hc, wc]], jnp.int32), (2 * l2, 2))
-    return prepare_windows(big, lvl_eff, xy_eff, vhw), xy_eff, inv_scale
+    # 96-row small windows cover the +-42 extent bound; the Pallas
+    # kernel then resamples them every SMM iteration at 2.8x fewer MACs
+    rows = 96 if use_pallas_sampler() else None
+    return (prepare_windows(big, lvl_eff, xy_eff, vhw, rows=rows),
+            xy_eff, inv_scale)
 
 
 def baumberg_adapt(blurs: jax.Array, lvl: jax.Array, xy_oct: jax.Array,

@@ -32,6 +32,7 @@ H % 8 == W % 128 == 0 (pad_canvas helps).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -40,7 +41,13 @@ import numpy as np
 
 WIN_Y = 136          # 17 sublane tiles of 8
 WIN_X = 256          # 2 lane tiles of 128
-MAX_HALF_EXTENT = 63.0
+# Max patch half-extent the samplers guarantee to cover, in source-level
+# pixels.  select_level's step bound (<= 1.5 px/step) keeps every
+# standard patch size below it: P=41 -> 1.5*20*sqrt2 = 42.4.  Sized so
+# the Pallas fast path's (96, 128) windows cover the extent; the legacy
+# (136, 256) windows cover it with room to spare.
+MAX_HALF_EXTENT = 44.0
+PALLAS_COLS = 128    # small-window lane width (Pallas fast path)
 
 
 def pad_canvas(img: jax.Array) -> jax.Array:
@@ -106,10 +113,34 @@ def _sample_chunk(win, relx, rely, gx, gy, vw, vh, fill):
     return jnp.where(ok, val, fill)
 
 
+def use_pallas_sampler() -> bool:
+    """Pallas fast path: TPU backend only (tests and the virtual CPU
+    mesh run the algebraically-identical XLA path); kill-switch via
+    MODS_SAMPLER=xla."""
+    forced = os.environ.get("MODS_SAMPLER", "")
+    if forced == "xla":
+        return False
+    if forced == "pallas":      # tests: interpret-mode on CPU
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def rows_for_patch(patch_size: int, max_step: float = 1.5) -> int:
+    """Small-window sublane rows covering a patch's worst-case vertical
+    extent under the select_level step bound (+2 px bilinear/frac
+    margin), rounded to the 8-row sublane tile."""
+    ext = max_step * (patch_size // 2) * 1.4143 + 2.0
+    return min(max(-(-int(2 * ext + 2) // 8) * 8, 48), 96)
+
+
 class WindowSource(NamedTuple):
     """Prefetched per-keypoint windows — reusable across resampling
-    rounds with different A (Baumberg iterations)."""
-    windows: jax.Array   # (K, WIN_Y, WIN_X)
+    rounds with different A (Baumberg iterations).  Legacy path windows
+    are (K, WIN_Y, WIN_X); the Pallas fast path uses (K, rows, 128)."""
+    windows: jax.Array   # (K, rows, cols)
     y0: jax.Array        # (K,) int32
     x0: jax.Array        # (K,) int32
     vw: jax.Array        # (K,) float32 valid width of the kp's level
@@ -117,15 +148,146 @@ class WindowSource(NamedTuple):
 
 
 def prepare_windows(src: jax.Array, lvl: jax.Array, xy: jax.Array,
-                    valid_hw: jax.Array) -> WindowSource:
+                    valid_hw: jax.Array,
+                    rows: int | None = None) -> WindowSource:
     """Fetch the per-keypoint windows once.  src (L, H, W); lvl (K,);
-    xy (K, 2) level coords; valid_hw (L, 2)."""
+    xy (K, 2) level coords; valid_hw (L, 2).
+
+    rows=None: legacy (WIN_Y, WIN_X) tile-aligned windows.
+    rows=R: small (R, 128) windows centered on the keypoint (the Pallas
+    fast path) — origins are unquantized (the extraction gather is
+    bandwidth-shaped either way, measured r5)."""
     _, hc, wc = src.shape
-    y0, x0 = window_origins(xy, hc, wc)
-    win = extract_windows(src, lvl, y0, x0)
+    if rows is None:
+        y0, x0 = window_origins(xy, hc, wc)
+        win = extract_windows(src, lvl, y0, x0)
+    else:
+        cy = jnp.floor(xy[..., 1]).astype(jnp.int32)
+        cx = jnp.floor(xy[..., 0]).astype(jnp.int32)
+        y0 = jnp.clip(cy - (rows // 2 - 1), 0, hc - rows)
+        x0 = jnp.clip(cx - (PALLAS_COLS // 2 - 1), 0, wc - PALLAS_COLS)
+        starts = jnp.stack([lvl, y0, x0], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2))
+        win = jax.lax.gather(
+            src, starts, dn, slice_sizes=(1, rows, PALLAS_COLS),
+            mode=jax.lax.GatherScatterMode.CLIP)
     vh = valid_hw[:, 0].astype(jnp.float32)[lvl]
     vw = valid_hw[:, 1].astype(jnp.float32)[lvl]
     return WindowSource(win, y0, x0, vw, vh)
+
+
+# -- Pallas fast path -------------------------------------------------------
+
+_SAMPLE_CB = 8       # keypoints per grid step
+
+
+def _make_sample_kernel(P: int, rows: int, NP_: int):
+    """One-hot bilinear sampling entirely in VMEM: per keypoint build
+    the row/column interpolation weights as tent functions on the VPU
+    and resolve them as ONE (NP_, rows) @ (rows, 128) MXU matmul + a
+    masked lane reduction.  Equivalent arithmetic to _sample_chunk's
+    einsum, minus the HBM round-trips and the (136, 256) legacy window
+    (5.7x fewer MACs at P=19, 2.8x at P=41)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(par_ref, win_ref, out_ref):
+        half = P // 2
+        n = jax.lax.broadcasted_iota(jnp.int32, (NP_, 1), 0)
+        # samples are patch-row-major: n = j * P + i, offsets (i, j)
+        gx = (n % P - half).astype(jnp.float32)
+        gy = (n // P - half).astype(jnp.float32)
+        ly = jax.lax.broadcasted_iota(
+            jnp.int32, (NP_, rows), 1).astype(jnp.float32)
+        lx = jax.lax.broadcasted_iota(
+            jnp.int32, (NP_, PALLAS_COLS), 1).astype(jnp.float32)
+        for c in range(_SAMPLE_CB):
+            rx0 = par_ref[c, 0]
+            ry0 = par_ref[c, 1]
+            a00 = par_ref[c, 2]
+            a01 = par_ref[c, 3]
+            a10 = par_ref[c, 4]
+            a11 = par_ref[c, 5]
+            # clamp into the window -> replicate-edge semantics, same as
+            # the legacy path's index clipping
+            relx = jnp.clip(rx0 + a00 * gx + a01 * gy, 0.0,
+                            PALLAS_COLS - 1.0)
+            rely = jnp.clip(ry0 + a10 * gx + a11 * gy, 0.0, rows - 1.0)
+            # tent weights == the bilinear one-hot rows/cols
+            Wy = jnp.maximum(1.0 - jnp.abs(ly - rely), 0.0)
+            Wx = jnp.maximum(1.0 - jnp.abs(lx - relx), 0.0)
+            rowv = jnp.dot(Wy, win_ref[c],
+                           preferred_element_type=jnp.float32)
+            out_ref[c, :] = jnp.sum(rowv * Wx, axis=-1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_sample_call(K: int, P: int, rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    NP_ = -(-P * P // 128) * 128
+    CB = _SAMPLE_CB
+    kernel = _make_sample_kernel(P, rows, NP_)
+
+    def call(par, win):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((K, NP_), jnp.float32),
+            grid=(K // CB,),
+            in_specs=[
+                pl.BlockSpec((CB, 8), lambda k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CB, rows, PALLAS_COLS),
+                             lambda k: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((CB, NP_), lambda k: (k, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(par, win)
+
+    return call
+
+
+def _sample_from_windows_pallas(ws: WindowSource, xy: jax.Array,
+                                A: jax.Array, patch_size: int,
+                                fill: float) -> jax.Array:
+    """Sample (K, P, P) patches from prefetched SMALL windows via the
+    Pallas kernel; out-of-image samples filled per the reference's
+    safe-interpolate rule (mask computed on the VPU outside)."""
+    K = xy.shape[0]
+    P = patch_size
+    rows = ws.windows.shape[1]
+    N = P * P
+    NP_ = -(-N // 128) * 128
+    CB = _SAMPLE_CB
+    Kp = -(-K // CB) * CB
+
+    par = jnp.concatenate([
+        xy[:, 0:1] - ws.x0[:, None].astype(jnp.float32),
+        xy[:, 1:2] - ws.y0[:, None].astype(jnp.float32),
+        A[:, 0, 0:1], A[:, 0, 1:2], A[:, 1, 0:1], A[:, 1, 1:2],
+        jnp.zeros((K, 2), jnp.float32)], axis=1)            # (K, 8)
+    win = ws.windows
+    if Kp != K:
+        par = jnp.pad(par, ((0, Kp - K), (0, 0)))
+        win = jnp.pad(win, ((0, Kp - K), (0, 0), (0, 0)))
+    out = _pallas_sample_call(Kp, P, rows)(par, win)[:K, :N]
+
+    # validity mask in GLOBAL level coordinates (reference safe
+    # interpolate, helpers.cpp:574-607)
+    from mods_tpu.ops.warp import patch_grid
+    g = patch_grid(P).reshape(-1, 2)
+    offs = jnp.einsum("kab,nb->kna", A, g)
+    gx = offs[..., 0] + xy[:, None, 0]
+    gy = offs[..., 1] + xy[:, None, 1]
+    ok = ((jnp.floor(gx) >= 0) & (jnp.floor(gy) >= 0)
+          & (jnp.floor(gx) < ws.vw[:, None] - 1)
+          & (jnp.floor(gy) < ws.vh[:, None] - 1))
+    return jnp.where(ok, out, fill).reshape(K, P, P)
 
 
 def sample_from_windows(ws: WindowSource, xy: jax.Array, A: jax.Array,
@@ -134,8 +296,12 @@ def sample_from_windows(ws: WindowSource, xy: jax.Array, A: jax.Array,
     """Sample (K, P, P) patches from prefetched windows.
 
     xy must be the centers the windows were prepared around (same level
-    coords); A is the CURRENT sampling matrix, ||A||*P/2*sqrt2 <= 63.
+    coords); A is the CURRENT sampling matrix, ||A||*P/2*sqrt2 <=
+    MAX_HALF_EXTENT.  Small (rows, 128) windows take the Pallas kernel;
+    legacy (WIN_Y, WIN_X) windows take the chunked einsum path.
     """
+    if ws.windows.shape[2] == PALLAS_COLS:
+        return _sample_from_windows_pallas(ws, xy, A, patch_size, fill)
     from mods_tpu.ops.warp import patch_grid
     K = xy.shape[0]
     P = patch_size
@@ -180,7 +346,8 @@ def sample_affine_patches(src: jax.Array, lvl: jax.Array, xy: jax.Array,
     patch[k, j, i] = src[lvl_k](xy_k + A_k @ [di, dj]), bilinear, with
     the reference's out-of-bounds fill semantics.
     """
-    ws = prepare_windows(src, lvl, xy, valid_hw)
+    rows = rows_for_patch(patch_size) if use_pallas_sampler() else None
+    ws = prepare_windows(src, lvl, xy, valid_hw, rows=rows)
     return sample_from_windows(ws, xy, A, patch_size, fill, chunk)
 
 

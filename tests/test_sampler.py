@@ -30,8 +30,8 @@ def test_windowed_matches_gather(rng):
     img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
     canvas = pad_canvas(img)
     k, P = 64, 21
-    xy, A = random_regions(rng, k, h, w, max_scale=3.0)
-    # extent bound: |A| * half * sqrt2 <= 63
+    xy, A = random_regions(rng, k, h, w, max_scale=2.2)
+    # extent bound: |A| * half * sqrt2 <= MAX_HALF_EXTENT (44)
     m = np.asarray(op_norm_2x2(A))
     assert (m * (P // 2) * np.sqrt(2) <= MAX_HALF_EXTENT).all()
 
@@ -93,3 +93,32 @@ def test_window_origins_alignment():
     assert (np.asarray(x0) % 128 == 0).all()
     assert (np.asarray(y0) >= 0).all() and (np.asarray(y0) <= 512 - 136).all()
     assert (np.asarray(x0) >= 0).all() and (np.asarray(x0) <= 640 - 256).all()
+
+
+def test_pallas_path_matches_xla(monkeypatch):
+    """The Pallas fast path (interpret mode on CPU) reproduces the
+    legacy windowed einsum sampler on valid samples."""
+    import os
+    import mods_tpu.ops.sampler as S
+    rng = np.random.default_rng(5)
+    L, H, W = 2, 136, 256
+    src = jnp.asarray(rng.uniform(0, 255, (L, H, W)).astype(np.float32))
+    valid_hw = jnp.asarray([[H, W]] * L, np.int32)
+    K, P = 16, 19
+    xy = jnp.asarray(np.stack([rng.uniform(40, W - 40, K),
+                               rng.uniform(40, H - 40, K)], -1)
+                     .astype(np.float32))
+    th = rng.uniform(0, 2 * np.pi, K)
+    sc = rng.uniform(0.5, 1.4, K)
+    A = jnp.asarray((np.stack([
+        np.stack([np.cos(th), -np.sin(th)], -1),
+        np.stack([np.sin(th), np.cos(th)], -1)], -2)
+        * sc[:, None, None]).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, L, K).astype(np.int32))
+
+    monkeypatch.setenv("MODS_SAMPLER", "xla")
+    ref = np.asarray(S.sample_affine_patches(src, lvl, xy, A, P, valid_hw))
+    monkeypatch.setenv("MODS_SAMPLER", "pallas")
+    got = np.asarray(S.sample_affine_patches(src, lvl, xy, A, P, valid_hw))
+    # tent-weight vs one-hot arithmetic differ only in fp rounding
+    np.testing.assert_allclose(got, ref, atol=6e-3)
