@@ -1241,9 +1241,48 @@ class TwoViewMatcher:
         self._prep_cache[key] = hit
         return hit
 
+    def _prefetch_host_stages(self, rungs, g1, g2) -> None:
+        """Submit every host-stage (MSER) render+detect job of the whole
+        ladder to a worker pool up front, so host slabs compute UNDER
+        the earlier rungs' device work instead of stalling their own
+        rung (the reference's nested image/synthesis OpenMP parallelism,
+        imagerepresentation.cpp:612-622, is the analogous overlap).  The
+        native renderer and the MSER component tree both release the
+        GIL, so the pool runs concurrently with program dispatch."""
+        from concurrent.futures import ThreadPoolExecutor
+        for f in getattr(self, "_host_futures", {}).values():
+            f.cancel()          # pair ended before consuming these
+        self._host_futures = {}
+        hostdets = [it.detector for rung in rungs for it in rung.dets
+                    if not self._device_det(it.detector)
+                    and it.detector == "MSER"]
+        if not hostdets:
+            return
+        if not hasattr(self, "_host_pool"):
+            self._host_pool = ThreadPoolExecutor(max_workers=2)
+        prev_sim: dict = {}
+        for step, rung in enumerate(rungs):
+            for it in rung.dets:
+                if self._device_det(it.detector) or it.detector != "MSER":
+                    continue
+                for img_idx, g in ((0, g1), (1, g2)):
+                    h, w = g.shape
+                    key = (it.detector, img_idx)
+                    new_prev, preps = self._prep_groups(
+                        it, h, w, prev_sim.get(key, []))
+                    prev_sim[key] = new_prev
+                    for gi, gp in enumerate(preps):
+                        fkey = (step, it.detector, img_idx, gi)
+                        V = gp["V"]
+                        self._host_futures[fkey] = self._host_pool.submit(
+                            self._host_stage_regions, it.detector, g,
+                            gp["group"], gp["rot_inv_np"][:V], gp["hr"],
+                            gp["wr"], gp["hc"], gp["wc"], TimeLog(),
+                            img_idx)
+
     def _process_image(self, img: np.ndarray, it: IterationParams,
                        prev_views: list, stores: dict, log: TimeLog,
-                       img_idx: int = 0, img_dev=None):
+                       img_idx: int = 0, img_dev=None, step: int = -1):
         cfg = self.cfg
         h, w = img.shape
         new_prev, preps = self._prep_groups(it, h, w, prev_views)
@@ -1260,16 +1299,25 @@ class TwoViewMatcher:
                 stores[key] = st = DeviceStore(cfg.caps.per_image,
                                                sp.dim)
             sts.append(st)
-        for gp in preps:
+        for gi, gp in enumerate(preps):
             # Host-stage detectors (host-backend MSER, ReadAffs):
             # keypoints computed on the host over host-rendered views;
             # the device program re-renders the views for description,
             # so full images never cross the host<->device link.
             if not self._device_det(it.detector):
                 V, Vb = gp["V"], gp["Vb"]
-                regs = self._host_stage_regions(
-                    it.detector, img, gp["group"], gp["rot_inv_np"][:V],
-                    gp["hr"], gp["wr"], gp["hc"], gp["wc"], log, img_idx)
+                fut = getattr(self, "_host_futures", {}).pop(
+                    (step, it.detector, img_idx, gi), None)
+                if fut is not None:
+                    # prefetched under earlier rungs' device work; only
+                    # the residual wait lands in the ledger
+                    with log.phase("DetectTime"):
+                        regs = fut.result()
+                else:
+                    regs = self._host_stage_regions(
+                        it.detector, img, gp["group"],
+                        gp["rot_inv_np"][:V], gp["hr"], gp["wr"],
+                        gp["hc"], gp["wc"], log, img_idx)
                 if Vb > V:      # pad view slots with empty region rows
                     regs = {k: np.concatenate(
                         [a, np.zeros((Vb - V,) + a.shape[1:], a.dtype)])
@@ -1563,6 +1611,7 @@ class TwoViewMatcher:
         prev2: dict = {}
         steps = 0
         rungs = as_rungs(self.ladder)[:cfg.max_steps]
+        self._prefetch_host_stages(rungs, g1, g2)
         outs: list = []               # (step_1based, out) per rung
         stop_counts: list = []        # host ints, sync mode only
         pending = 0                   # first unread rung, pipelined mode
@@ -1571,10 +1620,10 @@ class TwoViewMatcher:
             for it in rung.dets:
                 prev1[it.detector] = self._process_image(
                     g1, it, prev1.get(it.detector, []), stores1, log, 0,
-                    img_dev=g1_dev)
+                    img_dev=g1_dev, step=step)
                 prev2[it.detector] = self._process_image(
                     g2, it, prev2.get(it.detector, []), stores2, log, 1,
-                    img_dev=g2_dev)
+                    img_dev=g2_dev, step=step)
             # hardcoded tentative drops (mods.cpp:288-289)
             for cstep, cdet, cdesc in cfg.clear_tentatives:
                 if step == cstep:
