@@ -155,12 +155,16 @@ class MultiMatcher:
                 for k, a in out.items()}
         return out
 
-    def _process_gallery(self, imgs, sizes, it, prev_views, stores, log):
+    def _process_gallery(self, imgs, sizes, it, prev_views, stores, log,
+                         side: str = "g"):
         """Batched SynthDetectDescribe over the gallery axis.  Mirrors
         TwoViewMatcher._process_image with a leading (P,) dim.  Device
         detectors run fully fused; host-stage MSER detects natively on
         threaded host cores and describes batched on device
-        (mods_multi.cpp:250's serial loop, re-cut along the pair axis)."""
+        (mods_multi.cpp:250's serial loop, re-cut along the pair axis).
+
+        ``side`` keys the once-per-run device upload cache — the
+        pair-batched two-view mode batches BOTH sides."""
         cfg = self.cfg
         if it.detector == "ReadAffs":
             raise NotImplementedError(
@@ -182,9 +186,12 @@ class MultiMatcher:
         # per-image plans (sizes differ); groups are size-independent
         plans_per_img = [[synthesis.plan_view(v, w, h) for v in views]
                          for (h, w) in sizes]
-        if getattr(self, "_imgs_dev", None) is None:
-            self._imgs_dev = self._shard_pair(jnp.asarray(imgs))
-        imgs_j = self._imgs_dev
+        if not hasattr(self, "_imgs_dev_cache"):
+            self._imgs_dev_cache = {}
+        if self._imgs_dev_cache.get(side) is None:
+            self._imgs_dev_cache[side] = self._shard_pair(
+                jnp.asarray(imgs))
+        imgs_j = self._imgs_dev_cache[side]
         pe = cfg.sift.patch_extraction
         n_groups = len(synthesis.group_views(plans_per_img[0]))
         grouped = [synthesis.group_views(p) for p in plans_per_img]
@@ -287,7 +294,7 @@ class MultiMatcher:
         q = to_gray_np(query_img)
         gal = [to_gray_np(g) for g in gallery_imgs]
         imgs, sizes = _pad_gallery(gal)
-        self._imgs_dev = None     # uploaded once, reused across rungs
+        self._imgs_dev_cache = {}   # uploaded once, reused across rungs
         P_real = imgs.shape[0]
         # the pair axis shards the gallery: the global batch must be a
         # multiple of the mesh's pair size, so pad with blank images
@@ -360,7 +367,10 @@ class MultiMatcher:
 
     # -- batched matching over the gallery axis ---------------------------
 
-    def _execute_plan(self, qstores, gstores, rung, bank, log):
+    def _execute_plan(self, qstores, gstores, rung, bank, log,
+                      q_axis=None):
+        """q_axis=None: one query vs batched gallery (mods_multi).
+        q_axis=0: both sides batched (pair-batched two-view serving)."""
         cfg = self.cfg
         plan = rung.plan or rung.default_plan()
 
@@ -375,7 +385,7 @@ class MultiMatcher:
                 spec.kind == "binary", cfg.match.standard_2nd_closest,
                 False)
             vprog = jax.vmap(
-                prog, in_axes=(None, 0, None, None))
+                prog, in_axes=(q_axis, 0, None, None))
             parts = vprog(tuple(p.device_arrays() for p in qparts),
                           tuple(p.device_arrays() for p in gparts),
                           jnp.float32(ratio), jnp.float32(dist_thr))
@@ -423,3 +433,125 @@ class MultiMatcher:
         with log.phase("RANSACTime"):
             out = vvp(tuple(tent_parts), keys)
         return out
+
+
+@dataclass
+class BatchResult:
+    """Per-pair outcomes of a pair-batched run (serial MatchResult
+    semantics per pair: first rung crossing min_matches stops that pair,
+    best rung up to there is reported)."""
+    counts: np.ndarray          # (P,) verified matches
+    n_tentatives: np.ndarray    # (P,)
+    steps_used: np.ndarray      # (P,)
+    H: np.ndarray               # (P, 3, 3)
+    xy1: list                   # per-pair (Ni, 2)
+    xy2: list
+    log: "TimeLog" = None
+
+
+class PairBatchMatcher:
+    """Pair-batched two-view serving on one chip (or a ``pair`` mesh):
+    P independent (imgA, imgB) pairs advance the escalation ladder
+    TOGETHER, one batched dispatch per view group / match / verify —
+    production pairs/s instead of the serial protocol's
+    one-pair-per-dispatch (the tunnel charges ~26 ms per dispatch, and a
+    single cat-sized pair leaves most of the chip idle).
+
+    Reference axis: mods_multi.cpp:232-260 batches the gallery side;
+    here BOTH sides carry the pair axis.  The whole batch escalates
+    until every pair crossed min_matches (or rungs run out); per-pair
+    results then follow mods.cpp's serial selection (first crossing rung
+    stops the pair, best rung up to there reported)."""
+
+    def __init__(self, ladder=None, cfg: EngineConfig = EngineConfig(),
+                 seed: int = 0, mesh=None):
+        self.cfg = cfg
+        self.ladder = ladder
+        self.mm = MultiMatcher(ladder, cfg, seed=seed, mesh=mesh)
+
+    def match_batch(self, pairs: list) -> BatchResult:
+        cfg = self.cfg
+        mm = self.mm
+        log = TimeLog()
+        from mods_tpu.ops.image import to_gray_np
+        from mods_tpu.config import IterationParams
+        g1 = [to_gray_np(a) for a, _ in pairs]
+        g2 = [to_gray_np(b) for _, b in pairs]
+        imgs1, sizes1 = _pad_gallery(g1)
+        imgs2, sizes2 = _pad_gallery(g2)
+        P_real = len(pairs)
+        if mm.mesh is not None and "pair" in mm.mesh.axis_names:
+            pair = mm.mesh.shape["pair"]
+            pad = -P_real % pair
+            if pad:
+                z = np.zeros
+                imgs1 = np.concatenate(
+                    [imgs1, z((pad,) + imgs1.shape[1:], imgs1.dtype)])
+                imgs2 = np.concatenate(
+                    [imgs2, z((pad,) + imgs2.shape[1:], imgs2.dtype)])
+                sizes1 = list(sizes1) + [sizes1[-1]] * pad
+                sizes2 = list(sizes2) + [sizes2[-1]] * pad
+        mm._imgs_dev_cache = {}
+        mm.qmatcher._wh = (max(imgs1.shape[2], imgs2.shape[2]),
+                           max(imgs1.shape[1], imgs2.shape[1]))
+        stores1: dict = {}
+        stores2: dict = {}
+        prev1: dict = {}
+        prev2: dict = {}
+        bank: dict = {}
+        ladder = self.ladder if self.ladder else [IterationParams()]
+        rungs = as_rungs(ladder)[:cfg.max_steps]
+        outs: list = []
+        for step, rung in enumerate(rungs):
+            for it in rung.dets:
+                prev1[it.detector] = mm._process_gallery(
+                    imgs1, sizes1, it, prev1.get(it.detector, []),
+                    stores1, log, side="a")
+                prev2[it.detector] = mm._process_gallery(
+                    imgs2, sizes2, it, prev2.get(it.detector, []),
+                    stores2, log, side="b")
+            for cstep, cdet, cdesc in cfg.clear_tentatives:
+                if step == cstep:
+                    bank.pop((cdet, cdesc), None)
+            mm._execute_plan(stores1, stores2, rung, bank, log, q_axis=0)
+            out = mm._verify_bank(bank, log)
+            if out is None:
+                continue
+            jax.block_until_ready(out)
+            outs.append((step + 1, out))
+            counts = np.asarray(out["n_inl"])[:P_real]
+            if (counts >= cfg.min_matches).all():
+                break
+        log.finalize()
+        if not outs:
+            eye = np.tile(np.eye(3, dtype=np.float32), (P_real, 1, 1))
+            zz = np.zeros(P_real, np.int32)
+            return BatchResult(zz, zz, zz + len(rungs), eye,
+                               [np.zeros((0, 2))] * P_real,
+                               [np.zeros((0, 2))] * P_real, log)
+        inls = np.stack([np.asarray(o["n_inl"])[:P_real]
+                         for _, o in outs])              # (R, P)
+        # per-pair serial semantics (mods.cpp:229-230 + best-rung pick)
+        counts = np.zeros(P_real, np.int32)
+        n_tent = np.zeros(P_real, np.int32)
+        steps_used = np.zeros(P_real, np.int32)
+        H = np.tile(np.eye(3, dtype=np.float32), (P_real, 1, 1))
+        xy1, xy2 = [], []
+        hosts = [{k: np.asarray(v) for k, v in o.items()}
+                 for _, o in outs]
+        for i in range(P_real):
+            crossed = np.nonzero(inls[:, i] >= cfg.min_matches)[0]
+            stop_r = int(crossed[0]) if crossed.size else len(outs) - 1
+            best_r = int(np.argmax(inls[: stop_r + 1, i]))
+            o = hosts[best_r]
+            counts[i] = inls[best_r, i]
+            n_tent[i] = o["n_tent"][i]
+            steps_used[i] = (outs[stop_r][0] if crossed.size
+                             else len(rungs))
+            H[i] = o["model"][i]
+            m = o["inlier_mask"][i]
+            xy1.append(o["xy1_all"][i][m])
+            xy2.append(o["xy2_all"][i][m])
+        return BatchResult(counts=counts, n_tentatives=n_tent,
+                           steps_used=steps_used, H=H, xy1=xy1, xy2=xy2,
+                           log=log)
