@@ -51,7 +51,8 @@ def _build_engine(config_path: str | None, iters_path: str | None,
     use_f = ver_type in ("LORANSACF", "ORSA")
     cfg = replace(cfg, ransac=replace(cfg.ransac, use_f=use_f),
                   min_matches=min_matches, ver_type=ver_type)
-    return cfg, ladder
+    from mods_tpu.pipeline import autosize_caps
+    return autosize_caps(cfg), ladder
 
 
 def cmd_match(argv: list[str]) -> int:

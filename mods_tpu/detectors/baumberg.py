@@ -91,7 +91,7 @@ def _prepare_smm_windows(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
     (window_source, xy_eff, inv_scale) — sample with A * inv_scale.
     """
     from mods_tpu.ops.sampler import (MAX_HALF_EXTENT, pad_canvas,
-                                      prepare_windows, use_pallas_sampler)
+                                      prepare_windows)
     stack = pad_canvas(blurs)
     l2, hc, wc = stack.shape
     dec = stack[:, ::2, ::2]
@@ -105,10 +105,10 @@ def _prepare_smm_windows(blurs: jax.Array, lvl: jax.Array, xy: jax.Array,
     # no validity masking: out-of-image samples clamp to the replicated
     # edge, matching the clipped-gather semantics of the direct path
     vhw = jnp.broadcast_to(jnp.asarray([[hc, wc]], jnp.int32), (2 * l2, 2))
-    # 96-row small windows cover the +-42 extent bound; the Pallas
-    # kernel then resamples them every SMM iteration at 2.8x fewer MACs
-    rows = 96 if use_pallas_sampler() else None
-    return (prepare_windows(big, lvl_eff, xy_eff, vhw, rows=rows),
+    # 96-row small windows cover the +-42 extent bound; every SMM
+    # iteration then resamples at 2.8x fewer MACs than the legacy
+    # (136, 256) windows (both the einsum and the Pallas kernel)
+    return (prepare_windows(big, lvl_eff, xy_eff, vhw, rows=96),
             xy_eff, inv_scale)
 
 

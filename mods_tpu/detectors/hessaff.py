@@ -68,16 +68,12 @@ def _detect_one_octave(oct_blurs, oct_resps, valid_hw, p: PyramidParams,
     xy_oct = jnp.stack([x_oct[idx], y_oct[idx]], axis=-1)
     s_c = s_oct[idx]
     lvl_c = lvl[idx]
-
-    A, ok = baumberg_adapt(oct_blurs, lvl_c - 1, xy_oct, s_c, ok, aff)
-    return Regions(
-        xy=xy_oct * pixel_distance,
-        A=A,
-        s=s_c * pixel_distance,
-        response=loc["val"][idx],
-        sub_type=loc["sub_type"][idx],
-        mask=ok,
-    )
+    # Baumberg runs OUTSIDE the per-view vmap (detect_affine_keypoints
+    # flattens views into the level axis): one while_loop adapts the
+    # whole view batch, and the Pallas window sampler never sits under a
+    # vmap (vmapped pallas_call faulted the TPU worker, r5)
+    return (xy_oct, s_c, lvl_c, ok, loc["val"][idx],
+            loc["sub_type"][idx])
 
 
 def apply_detection_mode(regs: Regions, p: PyramidParams, out_cap: int,
@@ -143,6 +139,24 @@ def detect_affine_keypoints(imgs: jax.Array, valid_hw: jax.Array,
             lambda b, r, hw: _detect_one_octave(
                 b, r, hw, p, aff, cap, baum_cap, pos_th, fin_th, pd,
                 octv.sigmas))
-        per_oct.append(f(octv.blurs, octv.resps, vh))
+        xy_o, s_o, lvl_o, ok_o, val_o, sub_o = f(octv.blurs, octv.resps,
+                                                 vh)
+        # Baumberg over ALL views at once: views fold into the level
+        # axis of one (V*(L+2), H, W) stack, per-keypoint levels index it
+        V, L2, Ho, Wo = octv.blurs.shape
+        stack = octv.blurs.reshape(V * L2, Ho, Wo)
+        lvl_flat = (jnp.arange(V, dtype=jnp.int32)[:, None] * L2
+                    + lvl_o - 1).reshape(-1)
+        A_f, ok_f = baumberg_adapt(
+            stack, lvl_flat, xy_o.reshape(-1, 2), s_o.reshape(-1),
+            ok_o.reshape(-1), aff)
+        per_oct.append(Regions(
+            xy=xy_o * pd,
+            A=A_f.reshape(V, baum_cap, 2, 2),
+            s=s_o * pd,
+            response=val_o,
+            sub_type=sub_o,
+            mask=ok_f.reshape(V, baum_cap),
+        ))
     regs = concat_regions(per_oct)
     return apply_detection_mode(regs, p, caps.per_view, reg_number)

@@ -90,18 +90,19 @@ def extract_windows(src: jax.Array, lvl: jax.Array, y0: jax.Array,
 
 
 def _sample_chunk(win, relx, rely, gx, gy, vw, vh, fill):
-    """One keypoint chunk: windows (C, WIN_Y, WIN_X), coords (C, N)."""
+    """One keypoint chunk: windows (C, R, X), coords (C, N)."""
+    R, X = win.shape[-2:]
     yf = jnp.floor(rely)
     xf = jnp.floor(relx)
     wy = (rely - yf)[..., None]                      # (C, N, 1)
     wx = (relx - xf)[..., None]
-    y0i = jnp.clip(yf.astype(jnp.int32), 0, WIN_Y - 2)[..., None]
-    x0i = jnp.clip(xf.astype(jnp.int32), 0, WIN_X - 2)[..., None]
+    y0i = jnp.clip(yf.astype(jnp.int32), 0, R - 2)[..., None]
+    x0i = jnp.clip(xf.astype(jnp.int32), 0, X - 2)[..., None]
 
-    ly = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_Y), 2)
-    lx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_X), 2)
-    Wy = ((ly == y0i) * (1.0 - wy) + (ly == y0i + 1) * wy)   # (C, N, WIN_Y)
-    Wx = ((lx == x0i) * (1.0 - wx) + (lx == x0i + 1) * wx)   # (C, N, WIN_X)
+    ly = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
+    Wy = ((ly == y0i) * (1.0 - wy) + (ly == y0i + 1) * wy)   # (C, N, R)
+    Wx = ((lx == x0i) * (1.0 - wx) + (lx == x0i + 1) * wx)   # (C, N, X)
     rows = jnp.einsum("cnw,cwx->cnx", Wy, win,
                       preferred_element_type=jnp.float32)
     val = jnp.sum(rows * Wx, axis=-1)                        # (C, N)
@@ -114,24 +115,27 @@ def _sample_chunk(win, relx, rely, gx, gy, vw, vh, fill):
 
 
 def use_pallas_sampler() -> bool:
-    """Pallas fast path: TPU backend only (tests and the virtual CPU
-    mesh run the algebraically-identical XLA path); kill-switch via
-    MODS_SAMPLER=xla."""
+    """Pallas fast path — OPT-IN via MODS_SAMPLER=pallas.
+
+    The kernel is correct and ~2x faster than the small-window einsum in
+    isolation, but on the tunneled v5e runtime a ladder's-worth of
+    pallas-bearing programs intermittently faults the TPU worker
+    (r5 investigation: every program passes alone under per-program
+    syncs; sequences crash nondeterministically).  Until that runtime
+    stabilizes, the default everywhere is the algebraically-identical
+    small-window XLA einsum path."""
     forced = os.environ.get("MODS_SAMPLER", "")
-    if forced == "xla":
-        return False
-    if forced == "pallas":      # tests: interpret-mode on CPU
+    if forced == "pallas":
         return True
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:
-        return False
+    return False
 
 
-def rows_for_patch(patch_size: int, max_step: float = 1.5) -> int:
+def rows_for_patch(patch_size: int, max_step: float = 2.0) -> int:
     """Small-window sublane rows covering a patch's worst-case vertical
-    extent under the select_level step bound (+2 px bilinear/frac
-    margin), rounded to the 8-row sublane tile."""
+    extent (+2 px bilinear/frac margin), rounded to the 8-row sublane
+    tile.  max_step = 2.0 leaves 33% headroom over select_level's
+    1.5 px/step bound; extents beyond the window clamp to its edge
+    (replicate), same as the legacy window's index clipping."""
     ext = max_step * (patch_size // 2) * 1.4143 + 2.0
     return min(max(-(-int(2 * ext + 2) // 8) * 8, 48), 96)
 
@@ -225,18 +229,33 @@ def _make_sample_kernel(P: int, rows: int, NP_: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _pallas_sample_call(K: int, P: int, rows: int):
+def _pallas_sample_fn(P: int, rows: int):
+    """vmap-SAFE pallas sampler for one (patch, window) geometry.
+
+    pallas_call under jax.vmap lowers through the generic batching rule
+    (an extra grid dim) — measured to FAULT the TPU worker in the fused
+    pipeline (r5), and the batched gallery programs vmap whole fused
+    programs.  The kernel is per-keypoint elementwise, so batching ==
+    flattening: a custom_vmap rule folds any leading batch axes into the
+    keypoint axis and calls the same kernel once."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     NP_ = -(-P * P // 128) * 128
     CB = _SAMPLE_CB
     kernel = _make_sample_kernel(P, rows, NP_)
 
+    @jax.custom_batching.custom_vmap
     def call(par, win):
-        return pl.pallas_call(
+        """par (K, 8) f32; win (K, rows, 128) f32 -> (K, NP_) f32."""
+        K = par.shape[0]
+        Kp = -(-K // CB) * CB
+        if Kp != K:
+            par = jnp.pad(par, ((0, Kp - K), (0, 0)))
+            win = jnp.pad(win, ((0, Kp - K), (0, 0), (0, 0)))
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((K, NP_), jnp.float32),
-            grid=(K // CB,),
+            out_shape=jax.ShapeDtypeStruct((Kp, NP_), jnp.float32),
+            grid=(Kp // CB,),
             in_specs=[
                 pl.BlockSpec((CB, 8), lambda k: (k, 0),
                              memory_space=pltpu.VMEM),
@@ -248,6 +267,20 @@ def _pallas_sample_call(K: int, P: int, rows: int):
                                    memory_space=pltpu.VMEM),
             interpret=jax.default_backend() != "tpu",
         )(par, win)
+        return out[:K]
+
+    @call.def_vmap
+    def _batch_rule(axis_size, in_batched, par, win):
+        par_b, win_b = in_batched
+        B = axis_size
+        if not par_b:
+            par = jnp.broadcast_to(par[None], (B,) + par.shape)
+        if not win_b:
+            win = jnp.broadcast_to(win[None], (B,) + win.shape)
+        K = par.shape[1]
+        out = call(par.reshape(B * K, 8),
+                   win.reshape(B * K, rows, PALLAS_COLS))
+        return out.reshape(B, K, -1), True
 
     return call
 
@@ -262,20 +295,13 @@ def _sample_from_windows_pallas(ws: WindowSource, xy: jax.Array,
     P = patch_size
     rows = ws.windows.shape[1]
     N = P * P
-    NP_ = -(-N // 128) * 128
-    CB = _SAMPLE_CB
-    Kp = -(-K // CB) * CB
 
     par = jnp.concatenate([
         xy[:, 0:1] - ws.x0[:, None].astype(jnp.float32),
         xy[:, 1:2] - ws.y0[:, None].astype(jnp.float32),
         A[:, 0, 0:1], A[:, 0, 1:2], A[:, 1, 0:1], A[:, 1, 1:2],
         jnp.zeros((K, 2), jnp.float32)], axis=1)            # (K, 8)
-    win = ws.windows
-    if Kp != K:
-        par = jnp.pad(par, ((0, Kp - K), (0, 0)))
-        win = jnp.pad(win, ((0, Kp - K), (0, 0), (0, 0)))
-    out = _pallas_sample_call(Kp, P, rows)(par, win)[:K, :N]
+    out = _pallas_sample_fn(P, rows)(par, ws.windows)[:, :N]
 
     # validity mask in GLOBAL level coordinates (reference safe
     # interpolate, helpers.cpp:574-607)
@@ -300,7 +326,7 @@ def sample_from_windows(ws: WindowSource, xy: jax.Array, A: jax.Array,
     MAX_HALF_EXTENT.  Small (rows, 128) windows take the Pallas kernel;
     legacy (WIN_Y, WIN_X) windows take the chunked einsum path.
     """
-    if ws.windows.shape[2] == PALLAS_COLS:
+    if ws.windows.shape[2] == PALLAS_COLS and use_pallas_sampler():
         return _sample_from_windows_pallas(ws, xy, A, patch_size, fill)
     from mods_tpu.ops.warp import patch_grid
     K = xy.shape[0]
@@ -346,8 +372,11 @@ def sample_affine_patches(src: jax.Array, lvl: jax.Array, xy: jax.Array,
     patch[k, j, i] = src[lvl_k](xy_k + A_k @ [di, dj]), bilinear, with
     the reference's out-of-bounds fill semantics.
     """
-    rows = rows_for_patch(patch_size) if use_pallas_sampler() else None
-    ws = prepare_windows(src, lvl, xy, valid_hw, rows=rows)
+    # small (rows, 128) windows on every backend: the einsum's MAC count
+    # scales with window area, so (96,128) vs the legacy (136,256) is a
+    # 2.9x cut before any kernel work
+    ws = prepare_windows(src, lvl, xy, valid_hw,
+                         rows=rows_for_patch(patch_size))
     return sample_from_windows(ws, xy, A, patch_size, fill, chunk)
 
 

@@ -153,6 +153,38 @@ class EngineConfig:
                 "HarrisAffine": self.pyramid_harris}[detector]
 
 
+def autosize_caps(cfg: EngineConfig) -> EngineConfig:
+    """Derive the static TPU capacities from the INI's region-number
+    modes (scale-space-detector.hpp:127-198 semantics): a ladder running
+    FixedRegNumber/NotLessThanRegions with N regions per view needs
+    per-view/per-group/per-image slabs sized to N, not to the defaults
+    measured on FixedTh workloads (VERDICT r4 item 8 — the WxBS configs
+    use FixedRegNumber=3000 vs the 768-row default).  Ratios follow the
+    measured WxBS-parity sizing (per_group ~1.05N, per_image ~2.75N)."""
+    from mods_tpu.config import DetectionMode
+
+    def want(p: PyramidParams) -> int:
+        if p.detector_mode in (DetectionMode.FIXED_REG_NUMBER,
+                               DetectionMode.NOT_LESS_THAN_REGIONS):
+            return max(p.reg_number, 0)
+        return 0
+
+    n = max(want(cfg.pyramid), want(cfg.pyramid_dog),
+            want(cfg.pyramid_harris))
+    if n <= 0 or n <= cfg.caps.per_group:
+        return cfg
+
+    def rnd(x, m):
+        return -(-int(x) // m) * m
+
+    caps = replace(
+        cfg.caps,
+        per_view=max(cfg.caps.per_view, rnd(n, 256)),
+        per_group=max(cfg.caps.per_group, rnd(1.05 * n, 256)),
+        per_image=max(cfg.caps.per_image, rnd(2.75 * n, 1024)))
+    return replace(cfg, caps=caps)
+
+
 @dataclass
 class FeatureStore:
     """Host-side accumulated features of one image for ONE descriptor

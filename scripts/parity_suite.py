@@ -189,11 +189,11 @@ def run_ours(pairs):
     for lname, (config, iters) in LADDERS.items():
         if ladders_sel and lname not in ladders_sel:
             continue
+        # capacities derive from the INI's region-number modes inside
+        # _build_engine (autosize_caps) — no manual bumps
         cfg, ladder = _build_engine(config, iters, ver_type="LORANSACH")
         if lname == "wxbs":
-            # FixedRegNumber ladder: thousands of regions per view
-            cfg = replace(cfg, caps=replace(
-                cfg.caps, per_group=3072, per_image=8192))
+            assert cfg.caps.per_group >= 3072, cfg.caps
         m = TwoViewMatcher(ladder, cfg, stop_mode="sync")
         for pname, (p1, p2, H) in pairs.items():
             if only and pname not in only:

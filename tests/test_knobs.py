@@ -150,3 +150,19 @@ def test_split_and_fused_paths_agree():
     assert a.count == b.count and a.count > 0, (a.count, b.count)
     np.testing.assert_allclose(a.xy, b.xy, atol=1e-4)
     np.testing.assert_allclose(a.desc, b.desc, atol=1e-5)
+
+
+def test_autosize_caps_from_region_modes():
+    """FixedRegNumber/NotLessThanRegions ladders derive their slab
+    capacities from the INI region number (VERDICT r4 item 8;
+    scale-space-detector.hpp:127-198 semantics) — no manual bumps."""
+    from mods_tpu.cli import _build_engine
+    ref = "/root/reference/build"
+    wx, _ = _build_engine(f"{ref}/config_iter_mods_cviu_wxbs.ini",
+                          f"{ref}/iters_mods_cviu_wxbs.ini")
+    assert wx.caps.per_view >= 3000
+    assert wx.caps.per_group >= 3000
+    assert wx.caps.per_image >= 2.5 * 3000
+    cv, _ = _build_engine(f"{ref}/config_iter_mods_cviu.ini",
+                          f"{ref}/iters_mods_cviu.ini")
+    assert cv.caps.per_group == 768        # FixedTh ladder: defaults
