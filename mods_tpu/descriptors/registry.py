@@ -62,6 +62,11 @@ REGISTRY: dict[str, DescriptorSpec] = {
     # the reference's Caffe CNN slot (imagerepresentation.cpp:1343-1534)
     # as a batched conv stack over extracted patches (descriptors/cnn.py)
     "CNN": DescriptorSpec(name="CNN", kind="cnn", dim=128),
+    # external-binary descriptor plugin (the BICE pattern,
+    # bicedescriptor.hpp + imagerepresentation.cpp:1610): rows computed
+    # by ExternalCmdParams.desc_command on the host, ingested per view
+    "External": DescriptorSpec(name="External", kind="external",
+                               dim=128),
 }
 
 
@@ -126,4 +131,6 @@ def spec_for(name: str, cfg=None) -> DescriptorSpec:
                     ("patch_size", c.patch_size),
                     ("mr_size", c.mr_size),
                     ("normalization", c.normalization)))
+    if name == "External":
+        return dataclasses.replace(base, dim=cfg.external.desc_dim)
     return base

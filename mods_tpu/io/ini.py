@@ -270,7 +270,11 @@ def parse_descriptor_sections(ini: dict) -> dict:
     g, gb, gs = _sec_reader(ini, "ExternalDetector")
     out["external"] = ExternalCmdParams(
         command=gs("command", ""), format=gs("format", "oxford"),
-        cap=int(g("cap", 512)))
+        cap=int(g("cap", 512)),
+        # BICE-pattern external descriptor (bicedescriptor.hpp;
+        # dispatch imagerepresentation.cpp:1610)
+        desc_command=gs("descCommand", ""),
+        desc_dim=int(g("descDim", 128)))
     return out
 
 

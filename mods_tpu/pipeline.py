@@ -88,16 +88,30 @@ class MserParams:
 
 @dataclass(frozen=True)
 class ExternalCmdParams:
-    """Generic external-process detector — the TPU-native counterpart of
-    the reference's external-binary branch (imagerepresentation.cpp:
-    747-1026, EdgeFoci/SFOP/WAVE/WaSH via system()).  ``command`` is a
-    shell template with {img} and {out} placeholders; it is run per
-    synthesized view (host-rendered PNG in, keypoint file out), the
-    output parsed as Oxford ellipses or x/y/scale KP rows, and the
-    regions described on device like any host-stage detector."""
+    """Generic external-process detector/descriptor — the TPU-native
+    counterpart of the reference's external-binary branches
+    (imagerepresentation.cpp:747-1026 detectors via system();
+    descriptors/bicedescriptor.hpp + dispatch imagerepresentation.cpp:
+    1610 for the BICE descriptor).  ``command`` is a shell template with
+    {img} and {out} placeholders, run per synthesized view
+    (host-rendered PNG in, keypoint file out), the output parsed as
+    Oxford ellipses or x/y/scale KP rows, and the regions described on
+    device like any host-stage detector.
+
+    ``desc_command`` is the DESCRIPTOR counterpart (the BICE pattern:
+    image + keypoint list in, descriptor rows out): a template with
+    {img}, {pts} ("x y s" rows of this view's detections) and {out};
+    it must write one whitespace-separated row per input point, in
+    order: ``x y v0 .. v{desc_dim-1}`` (the reference instead re-matches
+    rows to points by coordinates within 0.5 px,
+    bicedescriptor.hpp:123-141 — an in-order contract is equivalent and
+    simpler for a plugin).  Enabled by listing descriptor "External" in
+    the rung; requires detector "External"."""
     command: str = ""
     format: str = "oxford"       # "oxford" | "kp"
     cap: int = 512               # padded keypoint rows per view
+    desc_command: str = ""
+    desc_dim: int = 128
 
 
 @dataclass(frozen=True)
@@ -380,14 +394,17 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
     C2 = min(caps.per_group, C1 * M)         # descriptor-stage rows
 
     def fam_key(sp):
-        if sp.kind == "binary":
+        if sp.kind in ("binary", "external"):
+            # detected frames used directly, no dominant orientation
             return "none"
         return "half" if sp.half_sift_like else "sift"
 
     families = sorted({fam_key(sp) for sp in specs})
 
     def program(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
-                regs_mask, hinv, stores):
+                regs_mask, hinv, stores, *extra):
+        # extra = (ext_desc,) — host-computed external descriptor slab
+        # (V, K, dim) — iff any spec has kind "external"
         from mods_tpu.descriptors.describe import (DESC_MIP_LEVELS,
                                                    aa_filter_patches)
         from mods_tpu.descriptors.orientation import (find_peaks,
@@ -472,7 +489,8 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 ok2 = jnp.arange(C1) < n2
                 return (takeN(xy1), takeN(A1), takeN(s1), takeN(r1),
                         jnp.minimum(takeN(vidx), V - 1), takeN(xy_r1),
-                        takeN(A_r), ok2, n2)
+                        takeN(A_r), ok2, n2,
+                        jnp.minimum(idx2, C1 - 1))
             angles, pmask = find_peaks(
                 hist_o, M, dom_ori.threshold,
                 half_sift=(fam == "half" or dom_ori.half_sift_mode))
@@ -507,19 +525,21 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
 
             return (xy1[row], takeA(Arot), s1[row], r1[row], vidx[row],
                     xy_r1[row], takeA(A_rf),
-                    ok2, jnp.minimum(n2, C2))
+                    ok2, jnp.minimum(n2, C2), row)
 
         out = {}
         base = SIFTDescriptorParams()  # raw histogram params
         for fam in families:
             fam_specs = [sp for sp in specs if fam_key(sp) == fam]
-            (xyv, Av, sv, rv, vi, xy_r, A_r, m2, n2) = stage2(fam)
+            (xyv, Av, sv, rv, vi, xy_r, A_r, m2, n2,
+             src_idx) = stage2(fam)
 
             need_hist = any(sp.kind == "sift" for sp in fam_specs)
             need_pix = any(sp.kind == "pixels" for sp in fam_specs)
             need_bin = any(sp.kind == "binary" for sp in fam_specs)
             need_patch = any(sp.kind == "patch" for sp in fam_specs)
             need_cnn = any(sp.kind == "cnn" for sp in fam_specs)
+            need_ext = any(sp.kind == "external" for sp in fam_specs)
 
             def desc_patches(scale_coef=1.0):
                 t = image_to_patch_scale(sv * scale_coef, pe_mr, pe_patch)
@@ -531,6 +551,15 @@ def _make_desc_fn(V: int, hc: int, wc: int, h0: int, w0: int, K: int,
                 return aa_filter_patches(raw, lvl, t, photo_norm=pe_photo)
 
             res = {}
+            if need_ext:
+                # host-computed rows (BICE semantics: one descriptor per
+                # detected region, no re-orientation) ride through the
+                # same compaction chain as the region geometry
+                ed1 = take1(extra[0])              # (C1, dim)
+                for sp in fam_specs:
+                    if sp.kind == "external":
+                        res[sp.name] = jnp.take(ed1, src_idx, axis=0,
+                                                mode="clip")
             if need_bin:
                 from mods_tpu.detectors.orb import brief_from_patches
                 bscale = (sv * 5.1962 / 31.0)[:, None, None]
@@ -764,11 +793,11 @@ def _fused_hostdet_program(V: int, h0: int, w0: int, hr: int, wr: int,
 
     def program(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw,
                 regs_xy, regs_A, regs_s, regs_resp, regs_mask, hinv,
-                stores):
+                stores, *extra):
         views = render(img, rot_inv, squash_inv, sig_x, sig_y, valid_hw)
         views = jax.lax.optimization_barrier(views)
         return desc(views, valid_hw, regs_xy, regs_A, regs_s, regs_resp,
-                    regs_mask, hinv, stores)
+                    regs_mask, hinv, stores, *extra)
 
     return jax.jit(program, donate_argnums=(12,))
 
@@ -1132,6 +1161,8 @@ class TwoViewMatcher:
                        s=z((V, cap), np.float32),
                        response=z((V, cap), np.float32),
                        mask=z((V, cap), bool))
+            if ext.desc_command:
+                out["ext_desc"] = z((V, cap, ext.desc_dim), np.float32)
             with log.phase("DetectTime"), tempfile.TemporaryDirectory() \
                     as td:
                 for v in range(V):
@@ -1154,6 +1185,29 @@ class TwoViewMatcher:
                     out["s"][v, :n] = s[:n]
                     out["response"][v, :n] = 1.0
                     out["mask"][v, :n] = True
+                    if ext.desc_command and n:
+                        # BICE-style external descriptor
+                        # (bicedescriptor.hpp): points in, rows out
+                        pp = f"{td}/v{v}.pts"
+                        dp = f"{td}/v{v}.descs"
+                        with open(pp, "w") as f:
+                            for i in range(n):
+                                f.write(f"{xy[i, 0]} {xy[i, 1]} "
+                                        f"{s[i]}\n")
+                        subprocess.run(
+                            ext.desc_command.format(img=ip, pts=pp,
+                                                    out=dp),
+                            shell=True, check=True, timeout=600,
+                            capture_output=True)
+                        rows = np.loadtxt(dp, dtype=np.float32,
+                                          ndmin=2)
+                        if rows.shape[1] != ext.desc_dim + 2:
+                            raise ValueError(
+                                f"external descriptor wrote "
+                                f"{rows.shape[1] - 2} dims, config "
+                                f"says {ext.desc_dim}")
+                        m_rows = min(len(rows), n)
+                        out["ext_desc"][v, :m_rows] = rows[:m_rows, 2:]
             return out
         if det == "MSER":
             from mods_tpu.detectors.mser import detect_msers_padded
@@ -1354,6 +1408,8 @@ class TwoViewMatcher:
                     regs = {k: np.concatenate(
                         [a, np.zeros((Vb - V,) + a.shape[1:], a.dtype)])
                         for k, a in regs.items()}
+                extra = ((jnp.asarray(regs["ext_desc"]),)
+                         if "ext_desc" in regs else ())
                 with log.phase("DescTime"):
                     out = gp["program"](
                         img_j, gp["rot_inv"], gp["squash_inv"],
@@ -1363,7 +1419,7 @@ class TwoViewMatcher:
                         jnp.asarray(regs["s"]),
                         jnp.asarray(regs["response"]),
                         jnp.asarray(regs["mask"]), gp["hinv"],
-                        tuple(st.buffers() for st in sts))
+                        tuple(st.buffers() for st in sts), *extra)
                     self._sync(out)
             # fused single-dispatch path for device detectors; the split
             # path remains for sync_timing runs that want the

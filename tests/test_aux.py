@@ -175,3 +175,61 @@ def test_external_command_detector(tmp_path):
                                           np.asarray(img2, np.float32))
     # grid step == translation: corresponding keypoints exist exactly
     assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
+
+
+def test_external_descriptor_plugin(tmp_path):
+    """External-binary DESCRIPTOR plugin (the BICE pattern,
+    descriptors/bicedescriptor.hpp + imagerepresentation.cpp:1610):
+    detector command emits keypoints, descriptor command consumes the
+    image + point list and emits one row per point; rows are ingested
+    into the store and matched like any descriptor."""
+    from mods_tpu.config import CapacityParams, IterationParams, \
+        RansacParams
+    from mods_tpu.pipeline import EngineConfig, ExternalCmdParams, \
+        TwoViewMatcher, replace
+    from tests.test_pipeline import textured_image, warp_np
+
+    det = tmp_path / "grid_det.py"
+    det.write_text(
+        "import sys\nfrom PIL import Image\n"
+        "im = Image.open(sys.argv[1]); w, h = im.size\n"
+        "pts = [(x, y) for y in range(24, h - 24, 12)\n"
+        "       for x in range(24, w - 24, 12)]\n"
+        "with open(sys.argv[2], 'w') as f:\n"
+        "    f.write('0.0\\n%d\\n' % len(pts))\n"
+        "    inv = 1.0 / (3.0 * 3.0)\n"
+        "    for x, y in pts:\n"
+        "        f.write('%f %f %f 0 %f\\n' % (x, y, inv, inv))\n")
+    # descriptor = mean patch intensity around the point, 8-dim ring:
+    # translation-covariant, so true correspondences match
+    desc = tmp_path / "ring_desc.py"
+    desc.write_text(
+        "import sys\nimport numpy as np\nfrom PIL import Image\n"
+        "im = np.asarray(Image.open(sys.argv[1]), np.float32)\n"
+        "pts = np.loadtxt(sys.argv[2], ndmin=2)\n"
+        "with open(sys.argv[3], 'w') as f:\n"
+        "    for x, y, s in pts:\n"
+        "        xi, yi = int(x), int(y)\n"
+        "        v = [im[yi + dy, xi + dx]\n"
+        "             for dy in (-6, 0, 6) for dx in (-6, 0, 6)]\n"
+        "        v = np.asarray(v[:8]) / (np.linalg.norm(v[:8]) + 1e-6)\n"
+        "        f.write(' '.join([str(x), str(y)]\n"
+        "                + ['%.6f' % q for q in v]) + '\\n')\n")
+    cfg = EngineConfig(
+        caps=CapacityParams(per_octave=512, per_view=256, per_image=512,
+                            max_angles=2, tentatives=1024),
+        ransac=RansacParams(err_threshold=3.0, batch_hypotheses=256,
+                            max_rounds=2),
+        external=ExternalCmdParams(
+            command=f"python {det} {{img}} {{out}}",
+            desc_command=f"python {desc} {{img}} {{pts}} {{out}}",
+            desc_dim=8))
+    img1 = textured_image(156, 192, seed=17)
+    H = np.array([[1.0, 0.0, 12.0], [0.0, 1.0, -12.0], [0, 0, 1.0]])
+    img2 = warp_np(img1, H, 156, 192)
+    ladder = [IterationParams(detector="External",
+                              descriptors=("External",),
+                              fginn_threshold=(0.9,))]
+    m = TwoViewMatcher(ladder, cfg).match(np.asarray(img1, np.float32),
+                                          np.asarray(img2, np.float32))
+    assert m.n_matches >= 8, (m.n_matches, m.n_tentatives)
