@@ -62,10 +62,17 @@ def main():
             res = matcher.match(img1, img2)
             break
         except jax.errors.JaxRuntimeError as e:
-            if "INTERNAL" not in str(e) or attempt == 7:
+            # INTERNAL: the remote compile service drops connections on
+            # big programs; UNAVAILABLE/ABORTED: the tunneled TPU worker
+            # intermittently restarts — both recover on retry (the
+            # compile cache persists across attempts)
+            transient = any(t in str(e) for t in
+                            ("INTERNAL", "UNAVAILABLE", "ABORTED"))
+            if not transient or attempt == 7:
                 raise
             print(f"warmup retry {attempt + 1}: {str(e)[:120]}",
                   file=sys.stderr)
+            time.sleep(10)
 
     rng = np.random.default_rng(0)
     iters = 5
