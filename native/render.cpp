@@ -153,6 +153,68 @@ void separable_scale(const float* in, int h, int w, float sx_inv,
   }
 }
 
+// Fused anti-alias blur + axis-aligned squash: evaluates the blurred
+// image ONLY at output sample positions.  Bit-faithful to
+// blur_separable followed by separable_scale (up to fp association):
+// bilinear(blur(f))(s) == (taps conv [1-w, w])(f) at floor(s), so each
+// output pixel applies the combined (taps+1)-tap kernel.  For the dense
+// tilt ladders (sigma_x up to ~29, squash 10:1) this cuts the blur work
+// by the squash factor — the host blur at full rotated resolution was
+// ~5.3 GMAC per MSER rung image (r5 measurement), dominating the
+// host-stage critical path.
+void blur_scale_fused(const float* in, int h, int w,
+                      const std::vector<float>& ky,
+                      const std::vector<float>& kx, float sy_inv,
+                      float sx_inv, float* out, int oh, int ow,
+                      int ow_stride, std::vector<float>& buf) {
+  const int ny = (int)ky.size(), nx = (int)kx.size();
+  const int hy = ny / 2, hx = nx / 2;
+  buf.resize((size_t)oh * w);
+  // pass 1: combined y-blur + y-resample, full width
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < oh; ++r) {
+    const float sy = sy_inv * (float)r;
+    int i0 = (int)std::floor(sy);
+    const float wy = sy - std::floor(sy);
+    if (i0 < 0) i0 = 0;
+    if (i0 > h - 1) i0 = h - 1;
+    float* orow = buf.data() + (size_t)r * w;
+    for (int x = 0; x < w; ++x) orow[x] = 0.0f;
+    for (int k = 0; k <= ny; ++k) {
+      const float t = (k < ny ? ky[k] * (1.0f - wy) : 0.0f)
+                    + (k > 0 ? ky[k - 1] * wy : 0.0f);
+      int yy = i0 + k - hy;
+      if (yy < 0) yy = 0;
+      if (yy >= h) yy = h - 1;
+      const float* irow = in + (size_t)yy * w;
+      for (int x = 0; x < w; ++x) orow[x] += t * irow[x];
+    }
+  }
+  // pass 2: combined x-blur + x-resample
+#pragma omp parallel for schedule(static)
+  for (int r = 0; r < oh; ++r) {
+    const float* irow = buf.data() + (size_t)r * w;
+    float* orow = out + (size_t)r * ow_stride;
+    for (int c = 0; c < ow; ++c) {
+      const float sx = sx_inv * (float)c;
+      int j0 = (int)std::floor(sx);
+      const float wx = sx - std::floor(sx);
+      if (j0 < 0) j0 = 0;
+      if (j0 > w - 1) j0 = w - 1;
+      float acc = 0.0f;
+      for (int k = 0; k <= nx; ++k) {
+        const float t = (k < nx ? kx[k] * (1.0f - wx) : 0.0f)
+                      + (k > 0 ? kx[k - 1] * wx : 0.0f);
+        int xx = j0 + k - hx;
+        if (xx < 0) xx = 0;
+        if (xx >= w) xx = w - 1;
+        acc += t * irow[xx];
+      }
+      orow[c] = acc;
+    }
+  }
+}
+
 std::vector<float> gauss_taps(float sigma) {
   int size = (int)(2.0f * 3.0f * sigma + 1.0f);
   if (size % 2 == 0) size += 1;
@@ -167,45 +229,6 @@ std::vector<float> gauss_taps(float sigma) {
   }
   for (int i = 0; i < size; ++i) taps[i] = (float)(taps[i] / sum);
   return taps;
-}
-
-// separable replicate-border blur of a (h, w) image in place (scratch
-// holds one image)
-void blur_separable(float* img, int h, int w, float sigma_x, float sigma_y,
-                    float* scratch) {
-  const std::vector<float> kx = gauss_taps(sigma_x);
-  const std::vector<float> ky = gauss_taps(sigma_y);
-  const int hx = (int)kx.size() / 2, hy = (int)ky.size() / 2;
-  // vertical pass img -> scratch
-#pragma omp parallel for schedule(static)
-  for (int y = 0; y < h; ++y) {
-    float* orow = scratch + (size_t)y * w;
-    for (int x = 0; x < w; ++x) orow[x] = 0.0f;
-    for (int k = 0; k < (int)ky.size(); ++k) {
-      int yy = y + k - hy;
-      if (yy < 0) yy = 0;
-      if (yy >= h) yy = h - 1;
-      const float t = ky[k];
-      const float* irow = img + (size_t)yy * w;
-      for (int x = 0; x < w; ++x) orow[x] += t * irow[x];
-    }
-  }
-  // horizontal pass scratch -> img
-#pragma omp parallel for schedule(static)
-  for (int y = 0; y < h; ++y) {
-    const float* irow = scratch + (size_t)y * w;
-    float* orow = img + (size_t)y * w;
-    for (int x = 0; x < w; ++x) {
-      float acc = 0.0f;
-      for (int k = 0; k < (int)kx.size(); ++k) {
-        int xx = x + k - hx;
-        if (xx < 0) xx = 0;
-        if (xx >= w) xx = w - 1;
-        acc += kx[k] * irow[xx];
-      }
-      orow[x] = acc;
-    }
-  }
 }
 
 }  // namespace
@@ -234,20 +257,23 @@ void mods_render_group(const float* img, int h, int w,
     }
     return;
   }
-  std::vector<float> rot((size_t)hr * wr), scratch((size_t)hr * wr);
+  std::vector<float> rot((size_t)hr * wr);
   std::vector<float> buf_a, buf_b, buf_s;
   for (int v = 0; v < V; ++v) {
     shear_rotate(img, h, w, rot_inv + (size_t)v * 6, rot.data(), hr, wr,
                  128.0f, buf_a, buf_b);
-    if (do_blur) {
-      blur_separable(rot.data(), hr, wr, sigma_x, sigma_y,
-                     scratch.data());
-    }
     float* o = out + (size_t)v * hc * wc;
     const int hv0 = valid_hw[v * 2], wv0 = valid_hw[v * 2 + 1];
     const int hv = hv0 < hc ? hv0 : hc, wv = wv0 < wc ? wv0 : wc;
-    separable_scale(rot.data(), hr, wr, sx_inv, sy_inv, o, hv, wv, wc,
-                    buf_s);
+    if (do_blur) {
+      const std::vector<float> ky = gauss_taps(sigma_y);
+      const std::vector<float> kx = gauss_taps(sigma_x);
+      blur_scale_fused(rot.data(), hr, wr, ky, kx, sy_inv, sx_inv, o,
+                       hv, wv, wc, buf_s);
+    } else {
+      separable_scale(rot.data(), hr, wr, sx_inv, sy_inv, o, hv, wv, wc,
+                      buf_s);
+    }
     // replicate the last valid row/col into the canvas padding — a
     // constant fill would manufacture an artificial edge at the valid
     // boundary (device render clamp_pad parity, pipeline.py)
