@@ -102,6 +102,60 @@ def main():
     n_true = max(trues)
     res = results[int(np.argmax(trues))]
 
+    # ---- second metric: pair-BATCHED production throughput ----------
+    # The serial protocol above matches the reference binary's one-pair
+    # run for an apples-to-apples wall-clock; production serving batches
+    # P independent pairs per dispatch (PairBatchMatcher — the
+    # mods_multi.cpp axis applied to both sides), amortizing the ~26 ms
+    # tunnel dispatch tax and filling the chip.  Quality is checked on
+    # every pair of the batch.
+    batched = {}
+    try:
+        from mods_tpu.parallel.multi import PairBatchMatcher
+        P = 8
+        bm = PairBatchMatcher(ladder, cfg)
+        rng2 = np.random.default_rng(7)
+        def mk_pairs():
+            return [(img1 + rng2.uniform(0, 0.5, img1.shape
+                                         ).astype(np.float32),
+                     img2 + rng2.uniform(0, 0.5, img2.shape
+                                         ).astype(np.float32))
+                    for _ in range(P)]
+        for attempt in range(4):
+            try:
+                bres = bm.match_batch(mk_pairs())   # warmup/compile
+                break
+            except jax.errors.JaxRuntimeError as e:
+                transient = any(t in str(e) for t in
+                                ("INTERNAL", "UNAVAILABLE", "ABORTED"))
+                if not transient or attempt == 3:
+                    raise
+                print(f"batched warmup retry: {str(e)[:100]}",
+                      file=sys.stderr)
+                time.sleep(10)
+        t0 = time.perf_counter()
+        iters_b = 2
+        btrues = []
+        for _ in range(iters_b):
+            bres = bm.match_batch(mk_pairs())
+            btrues.append([int(gt_h_inliers(
+                jnp.asarray(gt_h, jnp.float32), jnp.asarray(x1),
+                jnp.asarray(x2), jnp.ones(len(x1), bool), 3.0
+            ).sum()) if len(x1) else 0
+                for x1, x2 in zip(bres.xy1, bres.xy2)])
+        dt_b = time.perf_counter() - t0
+        bp = P * iters_b / dt_b
+        batched = {
+            "batched_pairs_per_sec": round(bp, 3),
+            "batched_vs_baseline": round(bp / REFERENCE_PAIRS_PER_SEC,
+                                         2),
+            "batch_size": P,
+            "batched_true_matches": btrues[-1],
+            "batched_speedup_vs_serial": round(bp / pairs_per_sec, 2),
+        }
+    except Exception as e:                      # never lose the serial metric
+        batched = {"batched_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "cviu_ladder_pairs_per_sec_single_chip",
         "value": round(pairs_per_sec, 3),
@@ -113,6 +167,7 @@ def main():
         "tentatives": int(res.n_tentatives),
         "steps_used": int(res.steps_used),
         "baseline_pairs_per_sec": REFERENCE_PAIRS_PER_SEC,
+        **batched,
     }))
 
 

@@ -157,3 +157,41 @@ def test_multi_matcher_cviu_subset_with_mser():
     # the true pair must dominate the unrelated texture
     assert res.counts[1] > res.counts[0], res.counts
     assert res.counts[1] >= 10, res.counts
+
+
+def test_pair_batch_matcher():
+    """Pair-batched two-view serving (PairBatchMatcher): P independent
+    pairs advance the ladder together; per-pair results follow the
+    serial selection semantics.  A true pair matches, an unrelated pair
+    does not."""
+    from mods_tpu.config import CapacityParams, IterationParams, \
+        RansacParams
+    from mods_tpu.parallel.multi import PairBatchMatcher
+    from mods_tpu.pipeline import EngineConfig
+    from tests.test_pipeline import textured_image, warp_np
+
+    a = textured_image(128, 160, seed=3)
+    H = np.array([[1.0, 0.0, 8.0], [0.0, 1.0, -5.0], [0, 0, 1.0]])
+    b = warp_np(a, H, 128, 160)
+    c = textured_image(128, 160, seed=77)
+    d = textured_image(128, 160, seed=88)
+
+    cfg = EngineConfig(
+        caps=CapacityParams(per_octave=512, per_view=256, per_image=512,
+                            max_angles=2, tentatives=1024),
+        ransac=RansacParams(err_threshold=3.0, batch_hypotheses=256,
+                            max_rounds=2))
+    ladder = [IterationParams(),
+              IterationParams(tilt_set=(2.0,), phi_base=120.0)]
+    m = PairBatchMatcher(ladder, cfg)
+    res = m.match_batch([(a, b), (c, d), (a, b)])
+    assert res.counts.shape == (3,)
+    assert res.counts[0] >= cfg.min_matches, res.counts
+    assert res.counts[2] >= cfg.min_matches, res.counts
+    assert res.counts[1] < res.counts[0], res.counts
+    assert len(res.xy1[0]) == res.counts[0]
+    # batched result agrees with the serial engine on the same pair
+    from mods_tpu.pipeline import TwoViewMatcher
+    sr = TwoViewMatcher(ladder, cfg).match(a, b)
+    assert abs(int(sr.n_matches) - int(res.counts[0])) <= \
+        max(6, int(0.4 * sr.n_matches)), (sr.n_matches, res.counts)
