@@ -74,6 +74,12 @@ def main():
                   file=sys.stderr)
             time.sleep(10)
 
+    # quality protocol: the CLEAN cat pair (the reference's own smoke
+    # test), deterministic seeding — one stable number.  The timed runs
+    # below perturb inputs to defeat tunnel replay caching; their
+    # per-run GT-true counts are reported alongside for transparency.
+    clean = matcher.match(img1, img2)
+
     rng = np.random.default_rng(0)
     iters = 5
     results = []
@@ -99,8 +105,8 @@ def main():
         return int(inl.sum())
 
     trues = [gt_true(r) for r in results]
-    n_true = max(trues)
-    res = results[int(np.argmax(trues))]
+    n_true = gt_true(clean)
+    res = clean
 
     # ---- second metric: pair-BATCHED production throughput ----------
     # The serial protocol above matches the reference binary's one-pair

@@ -1015,6 +1015,7 @@ class TwoViewMatcher:
         self._monolith_cache: dict = {}
         self.cfg = cfg
         self.ladder = ladder if ladder is not None else [IterationParams()]
+        self._seed = seed
         self.key = jax.random.PRNGKey(seed)
         # per-(rung, image-size) geometry/program cache (see _prep_groups)
         self._prep_cache: dict = {}
@@ -1667,6 +1668,11 @@ class TwoViewMatcher:
     def match(self, img1, img2, gt_h=None) -> MatchResult:
         cfg = self.cfg
         self._gt_h = gt_h
+        # deterministic per pair: the same inputs always produce the
+        # same result (the reference srand(time(NULL))s instead,
+        # exp_ranF.c:822 — run-to-run wobble there is a bug, not a
+        # feature; fixed seeding is a deliberate improvement)
+        self.key = jax.random.PRNGKey(self._seed)
         log = TimeLog()
         from mods_tpu.ops.image import to_gray_np
         g1 = to_gray_np(img1)
