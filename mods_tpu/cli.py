@@ -111,14 +111,19 @@ def cmd_match(argv: list[str]) -> int:
 
 def cmd_extract(argv: list[str]) -> int:
     """extract_features equivalent: single image -> keypoint file
-    (extract_features.cpp:121-135)."""
-    from mods_tpu.io.regions_io import RegionSet, save_regions
+    (extract_features.cpp:121-135).  A trailing ``michal`` /
+    ``michal-text`` argument writes the Michal per-descriptor format
+    instead (SaveRegionsMichal, imagerepresentation.cpp:2049-2146)."""
+    from mods_tpu.io.regions_io import (RegionSet, save_regions,
+                                        save_regions_michal)
 
     imgp, outp = argv[0], argv[1]
     config = argv[2] if len(argv) > 2 else None
     iters = argv[3] if len(argv) > 3 else None
+    fmt = argv[4] if len(argv) > 4 else "mods"
     stores = _extract_stores(imgp, config, iters)
     out = {}
+    flat = {}
     for (det, name), store in stores.items():
         n = store.count
         rs = RegionSet(
@@ -126,7 +131,16 @@ def cmd_extract(argv: list[str]) -> int:
             reproj_xy=store.xy, reproj_A=store.A, reproj_s=store.s,
             sub_type=np.zeros(n, np.int64), desc=store.desc)
         out.setdefault(det, {})[name] = rs
-    save_regions(outp, out)
+        flat[(det, name)] = rs
+    if fmt.startswith("michal"):
+        from PIL import Image
+        with Image.open(imgp) as im:
+            w0, h0 = im.size
+        files = save_regions_michal(outp, flat, w0, h0,
+                                    binary=(fmt == "michal"))
+        print(f"Saved Michal files: {files}")
+    else:
+        save_regions(outp, out)
     total = sum(s.count for s in stores.values())
     print(f"Saved {total} regions to {outp}")
     return 0

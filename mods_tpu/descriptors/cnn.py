@@ -91,9 +91,21 @@ def load_weights(path: str):
                  for k in ("w1", "b1", "w2", "b2", "w3", "b3"))
 
 
+DEFAULT_WEIGHTS = __file__.replace(
+    "descriptors/cnn.py", "data/cnn_patch128.npz")
+
+
 def weights_for(path: str, patch_size: int, dim: int):
+    """WeightsFile resolution: explicit path > packaged trained net
+    (mods_tpu/data/cnn_patch128.npz, trained by
+    scripts/train_cnn_desc.py on affine/photometric patch pairs) >
+    procedural Gabor bank (always available)."""
     if path:
         return load_weights(path)
+    import os
+    if (patch_size == 32 and dim == 128
+            and os.path.exists(DEFAULT_WEIGHTS)):
+        return load_weights(DEFAULT_WEIGHTS)
     return procedural_weights(patch_size, dim)
 
 

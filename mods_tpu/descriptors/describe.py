@@ -11,8 +11,10 @@ with a fixed 2x-oversampled grid: sample a (2P+1)^2 patch with step
 t*P/(2P+1) <= 1 image px, blur with the *constant* sigma
 1.5 * (2P+1)/P patch px (== 1.5*t image px), and resample the P^2 patch
 at the constant stride (2P+1)/P.  This is algebraically the reference
-pipeline for t <= (2P+1)/P (≈2), which covers every scale the default
-configs produce; larger regions are slightly aliased (TODO: mip levels).
+pipeline for t <= (2P+1)/P (≈2); larger regions take the mip-level
+windowed path below (extract_descriptor_patches_mip + ops/sampler
+mip_stack), which bounds the per-step sampling stride via level
+selection — the production pipeline uses that path exclusively.
 """
 
 from __future__ import annotations

@@ -144,3 +144,118 @@ def write_h(path: str, H: np.ndarray) -> None:
 
 def read_h(path: str) -> np.ndarray:
     return np.loadtxt(path).reshape(3, 3)
+
+
+def _rectify_up_is_up(A: np.ndarray) -> np.ndarray:
+    """rectifyAffineTransformationUpIsUp (helpers.cpp:380-389): rotate
+    each 2x2 frame so its first row is axis-aligned (a12 = 0), keeping
+    the shape; vectorized over (N, 2, 2)."""
+    a = A[:, 0, 0]
+    b = A[:, 0, 1]
+    c = A[:, 1, 0]
+    d = A[:, 1, 1]
+    det = np.sqrt(np.abs(a * d - b * c))
+    b2a2 = np.sqrt(b * b + a * a)
+    out = np.zeros_like(A)
+    out[:, 0, 0] = b2a2 / det
+    out[:, 0, 1] = 0.0
+    out[:, 1, 0] = (d * b + c * a) / (b2a2 * det)
+    out[:, 1, 1] = det / b2a2
+    return out
+
+
+MICHAL_MAGIC = 0x01666661      # the reference's int magic '\1ffa'
+
+
+def save_regions_michal(prefix: str, regions, img_w: int, img_h: int,
+                        binary: bool = True, response=None) -> list:
+    """SaveRegionsMichal (imagerepresentation.cpp:2049-2146): one file
+    per DESCRIPTOR name (``prefix + desc_name``), regions pooled across
+    detectors.  Per record (saveKPMichalBin, :52-87): x y s' a11 a12
+    a21 a22 sub_type response then the descriptor — s' = s * sqrt|det A|
+    * 3*sqrt(3) and the frame rectified up-is-up, uint8-clamped
+    descriptor bytes in binary mode (SIFT-family descriptors are
+    0..255-quantized on both sides, siftdesc.cpp:247-278).
+
+    ``regions``: {(det_name, desc_name): RegionSet}.  Returns the list
+    of files written.
+    """
+    import struct
+    by_desc: dict = {}
+    for (det, desc), rs in regions.items():
+        if desc == "None" or rs.n == 0:
+            continue
+        by_desc.setdefault(desc, []).append(rs)
+    written = []
+    for desc_name, sets in by_desc.items():
+        path = prefix + desc_name
+        n_total = sum(rs.n for rs in sets)
+        dim = sets[0].desc.shape[1]
+        mr = 3.0 * np.sqrt(3.0)
+        if binary:
+            with open(path, "wb") as f:
+                f.write(struct.pack("<iiiii", MICHAL_MAGIC, n_total,
+                                    dim, img_w, img_h))
+                for rs in sets:
+                    A = np.asarray(rs.reproj_A, np.float64)
+                    det_a = np.sqrt(np.abs(np.linalg.det(A)))
+                    s_out = rs.reproj_s * det_a * mr
+                    R = _rectify_up_is_up(A)
+                    resp = (np.zeros(rs.n) if response is None
+                            else np.asarray(response))
+                    dq = np.clip(rs.desc, 0, 255).astype(np.uint8)
+                    for i in range(rs.n):
+                        f.write(struct.pack(
+                            "<fffffffif", rs.reproj_xy[i, 0],
+                            rs.reproj_xy[i, 1], s_out[i],
+                            R[i, 0, 0], R[i, 0, 1], R[i, 1, 0],
+                            R[i, 1, 1], int(rs.sub_type[i]),
+                            float(resp[i] if i < len(resp) else 0.0)))
+                        f.write(dq[i].tobytes())
+        else:
+            with open(path, "w") as f:
+                for rs in sets:
+                    A = np.asarray(rs.reproj_A, np.float64)
+                    det_a = np.sqrt(np.abs(np.linalg.det(A)))
+                    s_out = rs.reproj_s * det_a * mr
+                    R = _rectify_up_is_up(A)
+                    resp = (np.zeros(rs.n) if response is None
+                            else np.asarray(response))
+                    for i in range(rs.n):
+                        row = [rs.reproj_xy[i, 0], rs.reproj_xy[i, 1],
+                               s_out[i], R[i, 0, 0], R[i, 0, 1],
+                               R[i, 1, 0], R[i, 1, 1]]
+                        f.write(" ".join(_fmt(v) for v in row)
+                                + f" {int(rs.sub_type[i])} "
+                                + _fmt(float(resp[i] if i < len(resp)
+                                             else 0.0)) + " "
+                                + " ".join(_fmt(v) for v in rs.desc[i])
+                                + "\n")
+        written.append(path)
+    return written
+
+
+def load_regions_michal(path: str):
+    """Binary Michal reader (inverse of save_regions_michal): returns
+    (xy (N,2), s (N,), A (N,2,2), sub_type (N,), response (N,),
+    desc (N,dim) float32)."""
+    import struct
+    with open(path, "rb") as f:
+        magic, n, dim, w, h = struct.unpack("<iiiii", f.read(20))
+        if magic != MICHAL_MAGIC:
+            raise ValueError(f"bad magic {magic:#x} in {path}")
+        xy = np.zeros((n, 2), np.float32)
+        s = np.zeros((n,), np.float32)
+        A = np.zeros((n, 2, 2), np.float32)
+        st = np.zeros((n,), np.int32)
+        resp = np.zeros((n,), np.float32)
+        desc = np.zeros((n, dim), np.float32)
+        for i in range(n):
+            vals = struct.unpack("<fffffffif", f.read(9 * 4))
+            xy[i] = vals[0:2]
+            s[i] = vals[2]
+            A[i] = [[vals[3], vals[4]], [vals[5], vals[6]]]
+            st[i] = vals[7]
+            resp[i] = vals[8]
+            desc[i] = np.frombuffer(f.read(dim), np.uint8)
+    return xy, s, A, st, resp, desc

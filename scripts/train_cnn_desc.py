@@ -46,10 +46,16 @@ def source_images():
 
 def sample_pair(rng, img, x, y):
     """Two P x P patches of the same point under different affine +
-    photometric warps (support radius ~3x patch like mrSize~12/32*s)."""
+    photometric warps (support radius ~3x patch like mrSize~12/32*s).
+
+    The pipeline feeds the CNN orientation-NORMALIZED patches (fam
+    'sift' routing in _make_desc_fn), so the relative rotation between
+    pair members is limited to the orientation-assignment residual
+    (~±12°); the base orientation still varies freely across pairs."""
     out = []
+    th_base = rng.uniform(0, 2 * np.pi)
     for _ in range(2):
-        th = rng.uniform(0, 2 * np.pi)
+        th = th_base + rng.uniform(-0.2, 0.2)
         sc = np.exp(rng.uniform(-0.35, 0.35))
         ani = np.exp(rng.uniform(-0.2, 0.2))
         sup = 20.0 * sc                       # source half-extent px

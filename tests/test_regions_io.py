@@ -54,3 +54,31 @@ def test_h_roundtrip(tmp_path, rng):
     p = str(tmp_path / "h.txt")
     write_h(p, H)
     np.testing.assert_allclose(read_h(p), H, rtol=1e-6)
+
+
+def test_michal_format_roundtrip(tmp_path):
+    """SaveRegionsMichal binary format (imagerepresentation.cpp:
+    2049-2146): per-descriptor files, magic/counts header, rectified
+    frames, uint8 descriptor bytes."""
+    from mods_tpu.io.regions_io import (RegionSet, load_regions_michal,
+                                        save_regions_michal)
+    rng = np.random.default_rng(0)
+    n = 7
+    xy = rng.uniform(0, 100, (n, 2))
+    th = rng.uniform(0, 2 * np.pi, n)
+    A = np.stack([np.stack([np.cos(th), -np.sin(th)], -1),
+                  np.stack([np.sin(th), np.cos(th)], -1)], -2)
+    s = rng.uniform(2, 6, n)
+    desc = rng.uniform(0, 255, (n, 128)).round()
+    rs = RegionSet(xy, A, s, xy, A, s, np.zeros(n), desc)
+    files = save_regions_michal(
+        str(tmp_path / "feat."), {("HessianAffine", "RootSIFT"): rs},
+        img_w=200, img_h=100)
+    assert files == [str(tmp_path / "feat.RootSIFT")]
+    lxy, ls, lA, lst, lresp, ldesc = load_regions_michal(files[0])
+    np.testing.assert_allclose(lxy, xy, rtol=1e-6)
+    np.testing.assert_allclose(ls, s * 3.0 * np.sqrt(3.0), rtol=1e-5)
+    # frames rectified: a12 == 0, unit determinant preserved
+    assert np.allclose(lA[:, 0, 1], 0.0)
+    assert np.allclose(np.linalg.det(lA), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(ldesc, desc)
