@@ -1620,9 +1620,12 @@ class TwoViewMatcher:
 
     def _compute_slabs(self, slab_spec, imgs_np, log: TimeLog):
         """Host-stage detections (MSER/ReadAffs) for every ladder slot,
-        as the monolith program's runtime inputs."""
-        slabs = []
-        for (r, det, im, gi) in slab_spec:
+        as the monolith program's runtime inputs — threaded across slots
+        (the native render + MSER release the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(spec):
+            r, det, im, gi = spec
             it = self._slab_its[(r, det)]
             h, w = imgs_np[im].shape
             _, preps = self._prep_groups(
@@ -1631,13 +1634,22 @@ class TwoViewMatcher:
             V, Vb = gp["V"], gp["Vb"]
             regs = self._host_stage_regions(
                 det, imgs_np[im], gp["group"], gp["rot_inv_np"][:V],
-                gp["hr"], gp["wr"], gp["hc"], gp["wc"], log, im)
+                gp["hr"], gp["wr"], gp["hc"], gp["wc"], TimeLog(), im)
             if Vb > V:
                 regs = {k: np.concatenate(
                     [a, np.zeros((Vb - V,) + a.shape[1:], a.dtype)])
                     for k, a in regs.items()}
-            slabs.append({k: jnp.asarray(v) for k, v in regs.items()})
-        return tuple(slabs)
+            return regs
+
+        # geometry prep first (mutates the prep cache; not thread-safe)
+        for (r, det, im, gi) in slab_spec:
+            it = self._slab_its[(r, det)]
+            h, w = imgs_np[im].shape
+            self._prep_groups(it, h, w, self._slab_prev[(r, det, im)])
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            all_regs = list(ex.map(one, slab_spec))
+        return tuple({k: jnp.asarray(v) for k, v in regs.items()}
+                     for regs in all_regs)
 
     def _match_monolith(self, g1, g2, gt_h, log: TimeLog) -> MatchResult:
         cfg = self.cfg
