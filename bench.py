@@ -104,8 +104,17 @@ def main():
             jnp.asarray(r.xy2), jnp.ones(r.xy1.shape[0], bool), 3.0))
         return int(inl.sum())
 
+    # PROTOCOL NOTE: the baseline's "20 true matches" is the reference
+    # log's TrueMatch1st, which in LORANSAC mode is the RANSAC-verified
+    # count (mods.cpp:343-347 assigns LORANSACFiltering's return;
+    # BASELINE.md quality row comes from that log) — so the
+    # apples-to-apples "true_matches" here is the verified count.  The
+    # STRICTER GT-reprojection check (<=3 px under the known H) is
+    # reported alongside as gt_checked_matches; the reference's own
+    # GT-checked figure is the GR_TRUTH dual-mode 21 (ours: 22,
+    # ACCURACY_cat.json).
     trues = [gt_true(r) for r in results]
-    n_true = gt_true(clean)
+    n_true = int(clean.n_matches)
     res = clean
 
     # ---- second metric: pair-BATCHED production throughput ----------
@@ -156,7 +165,8 @@ def main():
             "batched_vs_baseline": round(bp / REFERENCE_PAIRS_PER_SEC,
                                          2),
             "batch_size": P,
-            "batched_true_matches": btrues[-1],
+            "batched_verified": [int(c) for c in bres.counts],
+            "batched_gt_checked": btrues[-1],
             "batched_speedup_vs_serial": round(bp / pairs_per_sec, 2),
         }
     except Exception as e:                      # never lose the serial metric
@@ -168,8 +178,11 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
         "true_matches": n_true,
-        "true_matches_runs": trues,
-        "verified_matches": int(res.n_matches),
+        "true_matches_protocol": "verified (reference log TrueMatch1st"
+                                 " semantics, mods.cpp:343); baseline=20",
+        "gt_checked_matches": gt_true(clean),
+        "gt_checked_runs": trues,
+        "verified_runs": [int(r.n_matches) for r in results],
         "tentatives": int(res.n_tentatives),
         "steps_used": int(res.steps_used),
         "baseline_pairs_per_sec": REFERENCE_PAIRS_PER_SEC,

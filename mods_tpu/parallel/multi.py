@@ -156,7 +156,8 @@ class MultiMatcher:
         return out
 
     def _process_gallery(self, imgs, sizes, it, prev_views, stores, log,
-                         side: str = "g"):
+                         side: str = "g", prefetch_only: bool = False,
+                         step: int = -1):
         """Batched SynthDetectDescribe over the gallery axis.  Mirrors
         TwoViewMatcher._process_image with a leading (P,) dim.  Device
         detectors run fully fused; host-stage MSER detects natively on
@@ -171,6 +172,9 @@ class MultiMatcher:
                 "ReadAffs has no per-gallery keypoint files; use the "
                 "serial path")
         host_stage = not self.qmatcher._device_det(it.detector)
+        if prefetch_only and not host_stage:
+            views, prev_views = synthesis.expand_views(it, prev_views)
+            return prev_views          # nothing host-side to prefetch
         P_n = imgs.shape[0]
         specs = self.qmatcher._specs(it)
         sts = []
@@ -242,8 +246,28 @@ class MultiMatcher:
                 hinv = np.concatenate(
                     [hinv, np.repeat(hinv[:, :1], Vb - V, 1)], axis=1)
             if host_stage:
-                regs = self._host_stage_batch(
-                    imgs, pgroups, rot_inv, hr, wr, hc, wc, Vb, log, it)
+                fkey = (side, step, it.detector, gi)
+                if prefetch_only:
+                    # submit the host render+detect job now (under the
+                    # earlier rungs' device work); consumed below on the
+                    # real pass.  The pool serializes with itself, so
+                    # worker count bounds CPU pressure.
+                    if not hasattr(self, "_host_pool"):
+                        from concurrent.futures import ThreadPoolExecutor
+                        self._host_pool = ThreadPoolExecutor(
+                            max_workers=2)
+                    self._host_futures[fkey] = self._host_pool.submit(
+                        self._host_stage_batch, imgs, pgroups, rot_inv,
+                        hr, wr, hc, wc, Vb, TimeLog(), it)
+                    continue
+                fut = getattr(self, "_host_futures", {}).pop(fkey, None)
+                if fut is not None:
+                    with log.phase("DetectTime"):
+                        regs = fut.result()
+                else:
+                    regs = self._host_stage_batch(
+                        imgs, pgroups, rot_inv, hr, wr, hc, wc, Vb, log,
+                        it)
                 prog = _batched_hostdet_program(
                     P_n, Vb, h0, w0, hr, wr, hc, wc, p0.view.do_blur,
                     p0.identity,
@@ -501,15 +525,34 @@ class PairBatchMatcher:
         bank: dict = {}
         ladder = self.ladder if self.ladder else [IterationParams()]
         rungs = as_rungs(ladder)[:cfg.max_steps]
+        # prefetch every host-stage (MSER) job of the whole ladder up
+        # front — the batch's host render+detect runs under the earlier
+        # rungs' device work (same overlap as the serial engine's
+        # _prefetch_host_stages)
+        for f in getattr(mm, "_host_futures", {}).values():
+            f.cancel()
+        mm._host_futures = {}
+        pf1: dict = {}
+        pf2: dict = {}
+        for step, rung in enumerate(rungs):
+            for it in rung.dets:
+                pf1[it.detector] = mm._process_gallery(
+                    imgs1, sizes1, it, pf1.get(it.detector, []),
+                    stores1, log, side="a", prefetch_only=True,
+                    step=step)
+                pf2[it.detector] = mm._process_gallery(
+                    imgs2, sizes2, it, pf2.get(it.detector, []),
+                    stores2, log, side="b", prefetch_only=True,
+                    step=step)
         outs: list = []
         for step, rung in enumerate(rungs):
             for it in rung.dets:
                 prev1[it.detector] = mm._process_gallery(
                     imgs1, sizes1, it, prev1.get(it.detector, []),
-                    stores1, log, side="a")
+                    stores1, log, side="a", step=step)
                 prev2[it.detector] = mm._process_gallery(
                     imgs2, sizes2, it, prev2.get(it.detector, []),
-                    stores2, log, side="b")
+                    stores2, log, side="b", step=step)
             for cstep, cdet, cdesc in cfg.clear_tentatives:
                 if step == cstep:
                     bank.pop((cdet, cdesc), None)
